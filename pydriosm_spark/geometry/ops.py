@@ -1,0 +1,170 @@
+"""Vectorized computational-geometry kernels (numpy; no external geo libs).
+
+These run inside Arrow pandas UDFs (batch-vectorized) or driver-side for
+small broadcast geometry.  The ray-casting point-in-polygon here is the
+"refinement" half of the filter-refine spatial join the north rule
+mandates; the "filter" half is the quadcell cover equi-join
+(pydriosm_spark/operators/spatial_join.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def polygon_bbox(rings) -> tuple[float, float, float, float]:
+    outer = np.asarray(rings[0], dtype=np.float64)
+    return (
+        float(outer[:, 0].min()),
+        float(outer[:, 1].min()),
+        float(outer[:, 0].max()),
+        float(outer[:, 1].max()),
+    )
+
+
+def _ray_cast_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast of many points against one ring.
+
+    Returns a bool array that flips per crossing.  Points exactly on an
+    edge are engine-defined (callers keep test points off boundaries).
+    Complexity O(V * P) with pure numpy ops — no Python per point.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for i in range(x0.shape[0]):  # loop over VERTICES (small), not points
+        xa, ya, xb, yb = x0[i], y0[i], x1[i], y1[i]
+        if ya == yb:
+            continue
+        cond = (ya > py) != (yb > py)
+        if not cond.any():
+            continue
+        t = (py - ya) / (yb - ya)
+        xint = xa + t * (xb - xa)
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def points_in_polygon(px, py, rings) -> np.ndarray:
+    """Even-odd containment of points in a polygon with holes.
+
+    ``rings``: list of (N,2) arrays, first = outer shell, rest = holes.
+    Even-odd over all rings implements shell-minus-holes directly.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if r.shape[0] < 3:
+            continue
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        inside ^= _ray_cast_ring(px, py, r)
+    return inside
+
+
+def points_in_multipolygon(px, py, polys) -> np.ndarray:
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for rings in polys:
+        inside |= points_in_polygon(px, py, rings)
+    return inside
+
+
+def _segments_intersect_box(ring: np.ndarray, box) -> bool:
+    """True if any ring segment intersects the axis-aligned box (incl.
+    touching).  Uses a vectorized separating-axis test per segment batch."""
+    minx, miny, maxx, maxy = box
+    r = np.asarray(ring, dtype=np.float64)
+    x0, y0, x1, y1 = r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]
+    # reject: both endpoints strictly on one outside side
+    sminx, smaxx = np.minimum(x0, x1), np.maximum(x0, x1)
+    sminy, smaxy = np.minimum(y0, y1), np.maximum(y0, y1)
+    cand = ~((smaxx < minx) | (sminx > maxx) | (smaxy < miny) | (sminy > maxy))
+    if not cand.any():
+        return False
+    # Liang-Barsky clip on candidate segments
+    for i in np.nonzero(cand)[0]:
+        ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
+        dx, dy = bx - ax, by - ay
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in (
+            (-dx, ax - minx),
+            (dx, maxx - ax),
+            (-dy, ay - miny),
+            (dy, maxy - ay),
+        ):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+            else:
+                t = q / p
+                if p < 0:
+                    t0 = max(t0, t)
+                else:
+                    t1 = min(t1, t)
+                if t0 > t1:
+                    ok = False
+                    break
+        if ok:
+            return True
+    return False
+
+
+def box_intersects_polygon(box, rings) -> bool:
+    """Conservative box-polygon intersection test (exact for the uses in
+    cover computation): true iff the box touches the polygon."""
+    minx, miny, maxx, maxy = box
+    pminx, pminy, pmaxx, pmaxy = polygon_bbox(rings)
+    if pmaxx < minx or pminx > maxx or pmaxy < miny or pminy > maxy:
+        return False
+    # any corner of the box inside polygon?
+    cx = np.array([minx, maxx, maxx, minx])
+    cy = np.array([miny, miny, maxy, maxy])
+    if points_in_polygon(cx, cy, rings).any():
+        return True
+    # any polygon vertex inside the box?
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if (
+            ((r[:, 0] >= minx) & (r[:, 0] <= maxx) & (r[:, 1] >= miny) & (r[:, 1] <= maxy)).any()
+        ):
+            return True
+    # any edge crossing the box?
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        if _segments_intersect_box(r, box):
+            return True
+    return False
+
+
+def polygon_contains_box(rings, box) -> bool:
+    """True iff the box is fully inside the polygon (no edge crossing and
+    a corner inside)."""
+    minx, miny, maxx, maxy = box
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        if _segments_intersect_box(r, box):
+            return False
+    cx = np.array([minx, maxx, maxx, minx, (minx + maxx) / 2])
+    cy = np.array([miny, miny, maxy, maxy, (miny + maxy) / 2])
+    return bool(points_in_polygon(cx, cy, rings).all())
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized)."""
+    R = 6371008.8
+    p1, p2 = np.radians(np.asarray(lat1)), np.radians(np.asarray(lat2))
+    dphi = p2 - p1
+    dlmb = np.radians(np.asarray(lon2)) - np.radians(np.asarray(lon1))
+    a = np.sin(dphi / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
+    return 2.0 * R * np.arcsin(np.sqrt(a))

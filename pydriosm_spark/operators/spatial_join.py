@@ -1,0 +1,115 @@
+"""Filter-refine spatial join: compact cell cover equi-join + ray-cast PIP.
+
+The core operator the north rule mandates.  Classic two-phase plan:
+
+1. **Filter** — each polygon gets a compact quadcell cover, split into
+   *full* cells (entirely inside → join hit is final, no refinement) and
+   *partial* boundary cells.  The cover is exploded into a small
+   ``(cell, feature_id, full)`` DataFrame and **broadcast**; each point
+   computes its ancestor cell at every resolution present in the covers
+   (bounded spread, ≤4) with pure native column arithmetic and equi-joins
+   on the packed cell id.  No shuffle of the fact side: broadcast hash
+   join, whole-stage codegen, predicate-pushdown-friendly.
+
+2. **Refine** — join hits in *partial* cells pass through a vectorized
+   Arrow pandas UDF doing numpy ray-casting against the (sc.broadcast)
+   polygon rings.  Hits in *full* cells skip Python entirely — for
+   typical covers that is the large majority of rows.
+
+Scale notes (100 TB / 1000 executors): the fact side is never shuffled
+(broadcast join); the explode factor is bounded by the cover's resolution
+spread; skew from hot cells is irrelevant on the broadcast plan (no
+partitioning by cell).  For polygon sets too large to broadcast, the same
+cover table works as a shuffle hash join on cell — with
+``salt_hot_cells`` (operators/skew.py) handling hot-cell skew.
+
+Reference parity: pydriosm has no joins at all (SURVEY.md §2.3); this is
+the engine's replacement for its per-feature GDAL containment-free model.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from pydriosm_spark.cells import quadcell
+from pydriosm_spark.geometry.ops import points_in_polygon
+
+
+def build_cover(polygons: Sequence[dict], res: int, min_res: int | None = None):
+    """Driver-side: polygons -> [(feature_id, cell, full)] compact covers.
+
+    ``polygons``: iterable of {"feature_id": int, "rings": [ndarray(N,2)...]}.
+    """
+    rows = []
+    for p in polygons:
+        rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+        for cell, full in quadcell.cover_polygon(rings, res, min_res=min_res):
+            rows.append((int(p["feature_id"]), int(cell), bool(full)))
+    return rows
+
+
+def spatial_join_points_polygons(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: Sequence[dict],
+    res: int = 17,
+    lon: str = "lon",
+    lat: str = "lat",
+    refine: bool = True,
+) -> DataFrame:
+    """Join a (large) point DataFrame against a (small) polygon set.
+
+    Returns ``points`` columns + ``feature_id`` for every containing
+    polygon (inner join; points in no polygon drop, points in several
+    emit several rows).  Covers of one polygon are disjoint, so no
+    dedup pass is needed.
+    """
+    cover_rows = build_cover(polygons, res)
+    cover = spark.createDataFrame(cover_rows, "feature_id int, cell long, full boolean")
+
+    res_set = sorted({int(quadcell.cell_res(c)) for _, c, _ in cover_rows})
+    # probe side: ancestor cell per cover resolution — native exprs only
+    cells = F.array(*[F.expr(quadcell.cell_expr(lon, lat, r)) for r in res_set])
+    probe = points.withColumn("__cell", F.explode(cells))
+
+    joined = probe.join(F.broadcast(cover), probe["__cell"] == cover["cell"], "inner").drop(
+        "cell", "__cell"
+    )
+
+    if not refine:
+        return joined.drop("full")
+
+    poly_map = {
+        int(p["feature_id"]): [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+        for p in polygons
+    }
+    bc = spark.sparkContext.broadcast(poly_map)
+
+    @F.pandas_udf(BooleanType())
+    def pip(fid: pd.Series, px: pd.Series, py: pd.Series, full: pd.Series) -> pd.Series:
+        polys = bc.value
+        out = full.to_numpy(dtype=bool).copy()  # full cells: hit, no ray-cast
+        todo = ~out
+        if todo.any():
+            fids = fid.to_numpy()[todo]
+            x = px.to_numpy(dtype=np.float64)[todo]
+            y = py.to_numpy(dtype=np.float64)[todo]
+            res = np.zeros(fids.shape[0], dtype=bool)
+            for f in np.unique(fids):
+                m = fids == f
+                res[m] = points_in_polygon(x[m], y[m], polys[int(f)])
+            out[todo] = res
+        return pd.Series(out)
+
+    # Single pass over the fact side: the Arrow batch carries the `full`
+    # flag and the kernel ray-casts only the partial-cell rows (typically
+    # a small minority — covers make most hits 'full').
+    return joined.filter(pip(F.col("feature_id"), F.col(lon), F.col(lat), F.col("full"))).drop(
+        "full"
+    )

@@ -1,0 +1,226 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) ->
+DataFrame callable, paired with a DuckDB oracle SQL string.
+
+The oracle SQL recomputes the same result from the driver's raw tables by
+pure integer arithmetic (no geometry code), making every spatial operator
+differentially tested against an independent implementation — the
+reference's dual-engine oracle pattern (pyshp vs geopandas,
+/root/reference/tests/test_reader.py:236-251) generalized.
+
+Column names and types are aligned pairwise (the driver hashes values
+after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydriosm_spark.cells import quadcell
+from pydriosm_spark.functions import extract
+from pydriosm_spark.operators import knn as knn_ops
+from pydriosm_spark.operators import tiling
+from pydriosm_spark.operators.spatial_join import spatial_join_points_polygons
+from pydriosm_spark.sources import synth
+
+TILE_RES = 14
+TILE_PARENT_RES = 12
+JOIN_RES = 17
+RASTER_CELL = 3000
+VEC_MIN_COUNT = 8
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extraction path: documents -> webpages -> html -> text ->
+    geo tokens -> typed mention rows."""
+    return extract.extract_mentions(synth.webpages(spark, sf_dir))
+
+
+def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mentions(spark, sf_dir).select("doc_id", "mention_idx", "lat_str", "lon_str")
+
+
+def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    t = tiling.assign_tiles(m, TILE_RES, TILE_PARENT_RES)
+    return t.select("doc_id", "mention_idx", "tile", "tile_parent")
+
+
+def q_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    j = spatial_join_points_polygons(spark, m, synth.zone_features(), res=JOIN_RES)
+    return j.select("doc_id", "mention_idx", F.col("feature_id").cast("long").alias("feature_id"))
+
+
+def q_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    j = spatial_join_points_polygons(spark, m, synth.grid_features(), res=JOIN_RES)
+    return j.select("doc_id", "mention_idx", F.col("feature_id").cast("long").alias("feature_id"))
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    k = knn_ops.knn_ring(spark, m, synth.places_df(spark), k=3)
+    return k.select(
+        "doc_id",
+        "mention_idx",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("place_id").cast("long").alias("place_id"),
+        F.col("d2").cast("long").alias("d2"),
+    )
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    r = tiling.rasterize(m, RASTER_CELL)
+    return r.select("rx", "ry", F.col("n").cast("long").alias("n"))
+
+
+def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    r = tiling.rasterize(m, RASTER_CELL)
+    v = tiling.vectorize(r, RASTER_CELL, VEC_MIN_COUNT)
+    return v.select("rx", "ry", F.col("n").cast("long").alias("n"), "geometry_wkt")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _o_mentions_prefix() -> str:
+    return "WITH " + synth.mentions_cte_duckdb().strip()
+
+
+def _o_lonlat() -> str:
+    """CTE adding canonical strings + parsed doubles to mentions."""
+    lat_s = synth.lat_str_sql("m.v", "duckdb")
+    lon_s = synth.lon_str_sql("m.u", "duckdb")
+    return f""",
+pts AS (
+  SELECT m.doc_id, m.mention_idx, m.u, m.v,
+         {lat_s} AS lat_str, {lon_s} AS lon_str,
+         CAST({lat_s} AS DOUBLE) AS lat, CAST({lon_s} AS DOUBLE) AS lon
+  FROM mentions m
+)"""
+
+
+def oracle_extract() -> str:
+    return (
+        _o_mentions_prefix()
+        + _o_lonlat()
+        + """
+SELECT doc_id, CAST(mention_idx AS BIGINT) AS mention_idx, lat_str, lon_str FROM pts"""
+    )
+
+
+def oracle_tiles() -> str:
+    tile = quadcell.cell_expr("lon", "lat", TILE_RES)
+    parent = quadcell.parent_expr("tile", TILE_PARENT_RES, TILE_RES, dialect="duckdb")
+    return (
+        _o_mentions_prefix()
+        + _o_lonlat()
+        + f""",
+tiled AS (
+  SELECT doc_id, CAST(mention_idx AS BIGINT) AS mention_idx, {tile} AS tile FROM pts
+)
+SELECT doc_id, mention_idx, tile, {parent} AS tile_parent FROM tiled"""
+    )
+
+
+def oracle_zone_join() -> str:
+    z = synth
+    return (
+        _o_mentions_prefix()
+        + f""",
+zones AS (
+  SELECT CAST(z.z AS BIGINT) AS feature_id,
+         {z.ZONE_OX} + (z.z % {z.ZONE_NX}) * {z.ZONE_DX} AS u0,
+         {z.ZONE_OY} + (z.z // {z.ZONE_NX}) * {z.ZONE_DY} AS v0
+  FROM (SELECT unnest(range(0, {z.ZONE_NX * z.ZONE_NY})) AS z) z
+)
+SELECT m.doc_id, CAST(m.mention_idx AS BIGINT) AS mention_idx, zones.feature_id
+FROM mentions m
+JOIN zones
+  ON m.u >= zones.u0 AND m.u < zones.u0 + {z.ZONE_W}
+ AND m.v >= zones.v0 AND m.v < zones.v0 + {z.ZONE_H}
+ AND NOT (m.u >= zones.u0 + {z.ZONE_W - z.ZONE_QW} AND m.v >= zones.v0 + {z.ZONE_H - z.ZONE_QH})"""
+    )
+
+
+def oracle_grid_join() -> str:
+    g = synth
+    return (
+        _o_mentions_prefix()
+        + f"""
+SELECT doc_id, CAST(mention_idx AS BIGINT) AS mention_idx,
+       CAST((v // {g.GRID_CELL}) * {g.GRID_NX} + (u // {g.GRID_CELL}) AS BIGINT) AS feature_id
+FROM mentions"""
+    )
+
+
+def oracle_knn() -> str:
+    au, cu, mu = synth.PLACE_U
+    av, cv, mv = synth.PLACE_V
+    return (
+        _o_mentions_prefix()
+        + f""",
+places AS (
+  SELECT CAST(p.p AS BIGINT) AS place_id,
+         (p.p * {au} + {cu}) % {mu} AS pu,
+         (p.p * {av} + {cv}) % {mv} AS pv
+  FROM (SELECT unnest(range(0, {synth.N_PLACES})) AS p) p
+),
+cand AS (
+  SELECT m.doc_id, CAST(m.mention_idx AS BIGINT) AS mention_idx, places.place_id,
+         (m.u - places.pu) * (m.u - places.pu) + (m.v - places.pv) * (m.v - places.pv) AS d2
+  FROM mentions m CROSS JOIN places
+)
+SELECT doc_id, mention_idx,
+       CAST(row_number() OVER (PARTITION BY doc_id, mention_idx ORDER BY d2 ASC, place_id ASC) AS BIGINT) AS rank,
+       place_id, CAST(d2 AS BIGINT) AS d2
+FROM cand
+QUALIFY rank <= 3"""
+    )
+
+
+def oracle_rasterize() -> str:
+    return (
+        _o_mentions_prefix()
+        + f"""
+SELECT u // {RASTER_CELL} AS rx, v // {RASTER_CELL} AS ry, COUNT(*) AS n
+FROM mentions GROUP BY 1, 2"""
+    )
+
+
+def oracle_vectorize() -> str:
+    wkt = tiling.cell_wkt_sql("rx", "ry", RASTER_CELL, "duckdb")
+    return (
+        _o_mentions_prefix()
+        + f""",
+raster AS (
+  SELECT u // {RASTER_CELL} AS rx, v // {RASTER_CELL} AS ry, COUNT(*) AS n
+  FROM mentions GROUP BY 1, 2
+)
+SELECT rx, ry, n, {wkt} AS geometry_wkt FROM raster WHERE n >= {VEC_MIN_COUNT}"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def registry() -> dict:
+    """name -> (spark_callable, oracle_sql_or_None)."""
+    return {
+        "extract_mentions": (q_extract, oracle_extract()),
+        "tile_assign": (q_tiles, oracle_tiles()),
+        "spatial_join_zones": (q_zone_join, oracle_zone_join()),
+        "spatial_join_grid": (q_grid_join, oracle_grid_join()),
+        "knn_ring": (q_knn, oracle_knn()),
+        "rasterize": (q_rasterize, oracle_rasterize()),
+        "vectorize": (q_vectorize, oracle_vectorize()),
+    }
