@@ -1,0 +1,113 @@
+"""Reference-parity transforms: GeoJSON -> WKT and hstore tag parsing.
+
+Byte-exact re-implementations (from scratch, over our own WKT writer) of
+the reference's transform semantics, including its quirks:
+
+* ``parse_hstore`` — /root/reference/pydriosm/reader/transformer.py:343-378:
+  split on ``(?<="),(?=")``, strip outer quotes, split each pair on
+  ``"=>"?`` (maxsplit 1), and replace ``<br>`` with a space in values.
+* ``point_as_polygon`` — transformer.py:33-78: a degenerate 2-point ring
+  ``[p, p]`` is padded to ``[p, p, p]`` so it forms a (degenerate)
+  polygon.  Exactness-critical data-cleaning rule.
+* ``geojson_to_wkt`` — transformer.py:81-269 semantics:
+  - MultiPolygon: after the degenerate-ring fix, **every ring becomes its
+    own polygon** (``Polygon(y) for x in coords for y in x``,
+    transformer.py:153-155) — holes are NOT holes in the reference's
+    output, and we reproduce that faithfully.
+  - GeometryCollection members of polygon type flatten all rings into a
+    single ring (``Polygon(pt for pts in coords for pt in pts)``,
+    transformer.py:255-257).
+  - Rings are closed shapely-style (first point appended if open).
+
+The vectorized UDF wrappers run these per Arrow batch (the reference
+maps them per-row in pandas, transformer.py:329-338).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType
+
+from pydriosm_spark.geometry.wkt import to_wkt
+
+_PAIR_SPLIT = re.compile(r'(?<="),(?=")')
+_KV_SPLIT = re.compile(r'"=>"?')
+_STRIP_QUOTES = re.compile(r'^"|"$')
+
+
+def parse_hstore(other_tags: str | None) -> dict | None:
+    """hstore-style ``'"k"=>"v","k2"=>"v2"'`` -> dict (None passthrough)."""
+    if not other_tags:
+        return other_tags
+    tags = [_STRIP_QUOTES.sub("", x) for x in _PAIR_SPLIT.split(other_tags)]
+    pairs = (_KV_SPLIT.split(x, maxsplit=1) for x in filter(None, tags))
+    return {k: v.replace("<br>", " ") for k, v in (p for p in pairs if len(p) == 2)}
+
+
+def point_as_polygon(multi_poly_coords: list) -> list:
+    coords = [list(x) for x in multi_poly_coords]
+    first_ring = list(coords[0][0])
+    if len(first_ring) == 2 and first_ring[0] == first_ring[1]:
+        coords[0] = [first_ring + [first_ring[0]]] + list(coords[0][1:])
+    return coords
+
+
+def _close_ring(ring: list) -> list:
+    """Close a ring shapely-style (append first point if open) and pad
+    degenerate rings to the GEOS minimum of 4 points — the padded form is
+    what shapely emits for the reference's ``[p, p, p]`` cleaned rings."""
+    ring = [tuple(p) for p in ring]
+    if ring and ring[0] != ring[-1]:
+        ring = ring + [ring[0]]
+    while ring and len(ring) < 4:
+        ring = ring + [ring[0]]
+    return ring
+
+
+def geojson_to_wkt(geom: dict) -> str:
+    """GeoJSON geometry dict -> WKT string with reference semantics."""
+    gtype = geom["type"]
+    if gtype == "GeometryCollection":
+        parts = []
+        for g in geom["geometries"]:
+            t, c = g["type"], g["coordinates"]
+            if "Polygon" in t:
+                flat = [pt for pts in c for pt in pts]
+                parts.append(("Polygon", [_close_ring(flat)]))
+            elif t == "Point":
+                parts.append(("Point", (float(c[0]), float(c[1]))))
+            else:
+                parts.append((t, c))
+        return to_wkt(("GeometryCollection", parts))
+    coords = geom["coordinates"]
+    if gtype == "Point":
+        return to_wkt(("Point", (float(coords[0]), float(coords[1]))))
+    if gtype == "LineString":
+        return to_wkt(("LineString", coords))
+    if gtype == "MultiLineString":
+        return to_wkt(("MultiLineString", coords))
+    if gtype == "Polygon":
+        return to_wkt(("Polygon", [_close_ring(r) for r in coords]))
+    if gtype == "MultiPolygon":
+        cleaned = point_as_polygon(coords)
+        polys = [[_close_ring(ring)] for part in cleaned for ring in part]
+        return to_wkt(("MultiPolygon", [rings for rings in polys]))
+    raise ValueError(f"unsupported GeoJSON type {gtype}")
+
+
+# ---------------------------------------------------------------------------
+# vectorized UDFs
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(MapType(StringType(), StringType()))
+def hstore_udf(s: pd.Series) -> pd.Series:
+    return s.map(parse_hstore, na_action="ignore")
+
+
+@F.pandas_udf(StringType())
+def geojson_wkt_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: geojson_to_wkt(json.loads(x)), na_action="ignore")

@@ -214,8 +214,9 @@ SELECT rx, ry, n, {wkt} AS geometry_wkt FROM raster WHERE n >= {VEC_MIN_COUNT}""
 # ---------------------------------------------------------------------------
 
 def registry() -> dict:
-    """name -> (spark_callable, oracle_sql_or_None)."""
-    return {
+    """name -> (spark_callable, oracle_sql_or_None), merged across all
+    query families (spatial / layer-parity / text / relational)."""
+    out = {
         "extract_mentions": (q_extract, oracle_extract()),
         "tile_assign": (q_tiles, oracle_tiles()),
         "spatial_join_zones": (q_zone_join, oracle_zone_join()),
@@ -224,3 +225,15 @@ def registry() -> dict:
         "rasterize": (q_rasterize, oracle_rasterize()),
         "vectorize": (q_vectorize, oracle_vectorize()),
     }
+    from pydriosm_spark import queries_layers
+
+    out.update(queries_layers.registry())
+    for modname in ("queries_text", "queries_rel"):
+        try:
+            import importlib
+
+            mod = importlib.import_module(f"pydriosm_spark.{modname}")
+            out.update(mod.registry())
+        except ModuleNotFoundError:
+            pass
+    return out

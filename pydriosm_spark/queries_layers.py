@@ -1,0 +1,125 @@
+"""Reference-parity layer queries: GeoJSON->WKT transforms, hstore tag
+parsing, fclass filtering/grouping — each with a DuckDB oracle that
+reconstructs the expected output from first principles (string assembly
+from the canonical coordinate fragments)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydriosm_spark.functions.transforms import geojson_wkt_udf, hstore_udf
+from pydriosm_spark.sources import layers, synth
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_layer_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every feature's geometry parsed from GeoJSON and written as WKT —
+    the reference's transform_geometry path (transformer.py:272-340),
+    vectorized.  Sorted by id like the reference (parser.py:1589-1591)."""
+    lf = layers.layer_features(spark, sf_dir)
+    return (
+        lf.withColumn("geometry_wkt", geojson_wkt_udf("geojson"))
+        .select("id", "layer", "geometry_wkt")
+        .orderBy("id")
+    )
+
+
+def q_hstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed other_tags exploded to rows — transform_other_tags
+    (transformer.py:343-378) as a vectorized map-typed UDF."""
+    lf = layers.layer_features(spark, sf_dir)
+    return lf.select(
+        "id", F.explode(hstore_udf("other_tags_raw")).alias("tag_key", "tag_value")
+    )
+
+
+def q_fclass_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-class filter + per-(layer, fclass) counts — the reference's
+    fclass query filter (parser.py:1016-1020) and per-class groupby
+    (parser.py:888) as one aggregation."""
+    lf = layers.layer_features(spark, sf_dir)
+    return (
+        lf.filter(F.col("fclass").isin("rail", "tram", "ferry"))
+        .groupBy("layer", "fclass")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _xy(j: int) -> tuple[str, str]:
+    return (
+        synth.lon_str_sql(synth.u_sql("doc_id", str(j)), "duckdb"),
+        synth.lat_str_sql(synth.v_sql("doc_id", str(j)), "duckdb"),
+    )
+
+
+def _layer_case() -> str:
+    return (
+        "(CASE doc_id % 5 "
+        + " ".join(f"WHEN {k} THEN '{name}'" for k, name in enumerate(layers.LAYERS))
+        + " END)"
+    )
+
+
+def _fclass_case() -> str:
+    return (
+        "(CASE doc_id % 7 "
+        + " ".join(f"WHEN {k} THEN '{name}'" for k, name in enumerate(layers.FCLASS_VOCAB))
+        + " END)"
+    )
+
+
+def oracle_layer_wkt() -> str:
+    (x0, y0), (x1, y1), (x2, y2) = (_xy(j) for j in range(3))
+    p0 = f"{x0} || ' ' || {y0}"
+    p1 = f"{x1} || ' ' || {y1}"
+    p2 = f"{x2} || ' ' || {y2}"
+    point = f"'POINT (' || {p0} || ')'"
+    line = f"'LINESTRING (' || {p0} || ', ' || {p1} || ')'"
+    mls = f"'MULTILINESTRING ((' || {p0} || ', ' || {p1} || '), (' || {p1} || ', ' || {p2} || '))'"
+    mpoly_norm = f"'MULTIPOLYGON (((' || {p0} || ', ' || {p1} || ', ' || {p2} || ', ' || {p0} || ')))'"
+    mpoly_degen = f"'MULTIPOLYGON (((' || {p0} || ', ' || {p0} || ', ' || {p0} || ', ' || {p0} || ')))'"
+    gc = f"'GEOMETRYCOLLECTION (POINT (' || {p0} || '), POINT (' || {p1} || '))'"
+    return f"""
+SELECT doc_id AS id,
+       {_layer_case()} AS layer,
+       (CASE doc_id % 5
+          WHEN 0 THEN {point}
+          WHEN 1 THEN {line}
+          WHEN 2 THEN {mls}
+          WHEN 3 THEN (CASE WHEN doc_id % 10 = 3 THEN {mpoly_degen} ELSE {mpoly_norm} END)
+          ELSE {gc} END) AS geometry_wkt
+FROM documents
+ORDER BY id"""
+
+
+def oracle_hstore() -> str:
+    return """
+SELECT doc_id AS id, 'lang' AS tag_key, lang AS tag_value FROM documents
+UNION ALL
+SELECT doc_id, 'source', source FROM documents
+UNION ALL
+SELECT doc_id, 'note', 'a b' FROM documents WHERE doc_id % 7 = 0"""
+
+
+def oracle_fclass_counts() -> str:
+    return f"""
+SELECT {_layer_case()} AS layer, {_fclass_case()} AS fclass, COUNT(*) AS n
+FROM documents
+WHERE {_fclass_case()} IN ('rail', 'tram', 'ferry')
+GROUP BY 1, 2"""
+
+
+def registry() -> dict:
+    return {
+        "layer_geojson_wkt": (q_layer_wkt, oracle_layer_wkt()),
+        "hstore_parse": (q_hstore, oracle_hstore()),
+        "fclass_filter_counts": (q_fclass_counts, oracle_fclass_counts()),
+    }
