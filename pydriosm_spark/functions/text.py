@@ -1,0 +1,90 @@
+"""Text-analysis primitives for the training-data pipeline suite:
+tokenization, quality metrics, language-ID heuristic, fingerprinting.
+
+All metrics are *integer-valued* (counts, 1e6-scaled ratios via integer
+floor-division) so the DuckDB oracle reproduces them exactly — no float
+rounding ambiguity.  Every fragment renders in both dialects from one
+template; the Spark side stays native (whole-stage codegen higher-order
+functions, zero Python, zero shuffle).
+"""
+
+from __future__ import annotations
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic; order = deterministic tie-break priority
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "y", "que", "es"],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens_sql(text: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"split(trim({text}), '\\\\s+')"
+    return f"string_split_regex(trim({text}), '\\s+')"
+
+
+def ntokens_sql(text: str, dialect: str) -> str:
+    fn = "size" if dialect == "spark" else "len"
+    return f"{fn}({tokens_sql(text, dialect)})"
+
+
+def _count_in_sql(tokens: str, words: list[str], dialect: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({tokens}, t -> t IN ({lst})))"
+    return f"len(list_filter({tokens}, t -> t IN ({lst})))"
+
+
+def stopword_count_sql(text: str, lang: str, dialect: str) -> str:
+    return _count_in_sql(tokens_sql(text, dialect), LANG_STOPWORDS[lang], dialect)
+
+
+def punct_count_sql(text: str, dialect: str) -> str:
+    return f"(length({text}) - length(regexp_replace({text}, '{PUNCT_CLASS}', '')))"
+
+
+def langid_sql(text: str, dialect: str) -> str:
+    """Argmax of per-language stopword hits, ties broken in LANG order."""
+    toks = tokens_sql(text, dialect)
+    cnt = {l: _count_in_sql(toks, ws, dialect) for l, ws in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{cnt[l]} >= {cnt[m]}" for m in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{l}'")
+    return "(CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END)"
+
+
+def fingerprint_sql(text: str, dialect: str) -> str:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text (the reference's deterministic-key idea — pickle keys derived
+    from normalized names, /root/reference/pydriosm/reader/_reader.py:616-654 —
+    recast as content addressing)."""
+    norm = f"lower(regexp_replace(trim({text}), '\\\\s+', ' '))" if dialect == "spark" else (
+        f"lower(regexp_replace(trim({text}), '\\s+', ' ', 'g'))"
+    )
+    return f"md5({norm})"
+
+
+def quality_select_sql(text: str, dialect: str) -> dict[str, str]:
+    """Column-name -> SQL fragment for the quality-score query.  Ratios
+    are integer 1e6-scaled floor divisions."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    n_chars = f"length({text})"
+    n_tokens = ntokens_sql(text, dialect)
+    n_punct = punct_count_sql(text, dialect)
+    n_stop = stopword_count_sql(text, "en", dialect)
+    return {
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "n_punct": f"CAST({n_punct} AS BIGINT)",
+        "n_stop_en": f"CAST({n_stop} AS BIGINT)",
+        "punct_ratio_e6": f"CAST(({n_punct} * 1000000) {idiv} greatest({n_chars}, 1) AS BIGINT)",
+        "stop_ratio_e6": f"CAST(({n_stop} * 1000000) {idiv} greatest({n_tokens}, 1) AS BIGINT)",
+        "avg_token_len_e6": f"CAST(({n_chars} * 1000000) {idiv} greatest({n_tokens}, 1) AS BIGINT)",
+    }

@@ -1,0 +1,148 @@
+"""Deduplication operators for the training-data pipeline:
+
+* ``dedup_exact``      — content-hash groupBy; canonical keeper = min id.
+* ``minhash_lsh_pairs``— shingle -> banded MinHash -> bucket self-join ->
+  exact n-gram Jaccard verification.  The classic near-dup pipeline
+  (Broder MinHash + LSH banding) as pure DataFrame ops.
+* ``simhash``          — 60-bit majority-vote SimHash over token hashes,
+  computed with native higher-order functions (zero shuffle, zero
+  Python): per-bit counts via ``filter()`` over the token-hash array.
+
+Determinism: all hashes are md5-derived (identical across engines and
+partitionings); MinHash permutations are ``md5(band || ':' || shingle)``
+compared lexicographically; Jaccard is integer-scaled.
+
+Scale notes: dedup_exact shuffles once on the hash (bounded by distinct
+content); minhash explodes |docs| x BANDS rows — the band groupBy is the
+shuffle; bucket skew (a viral shingle set) is bounded by capping bucket
+size (``max_bucket``), the standard guard in web-scale dedup; the
+verify join only touches candidate pairs.  SimHash is embarrassingly
+parallel; its Hamming-ball search would bucket on rotated prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BANDS = 16
+SHINGLE_K = 3
+SIMHASH_BITS = 60
+
+
+def _shingles(df: DataFrame, text: str = "text") -> DataFrame:
+    """Distinct 3-word shingles per doc (whole text as fallback when the
+    doc has < K tokens) — native higher-order exprs."""
+    toks = f"split(trim({text}), '\\\\s+')"
+    sh = (
+        f"CASE WHEN size({toks}) < {SHINGLE_K} THEN array(trim({text})) "
+        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {SHINGLE_K}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {SHINGLE_K})))) END"
+    )
+    return df.withColumn("shingles", F.expr(sh))
+
+
+def dedup_exact(df: DataFrame, key: str = "doc_id", fp: str = "fp") -> DataFrame:
+    """(doc_id, fp) -> (doc_id, keep_id, is_dup); keeper = min doc_id."""
+    w = Window.partitionBy(fp)
+    return df.select(
+        key,
+        fp,
+        F.min(key).over(w).alias("keep_id"),
+    ).withColumn("is_dup", F.col(key) != F.col("keep_id"))
+
+
+def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """(key, band, minhash) — one row per (doc, band)."""
+    sh = _shingles(df, text).select(key, F.explode("shingles").alias("s"))
+    banded = sh.withColumn("band", F.explode(F.expr(f"sequence(0, {BANDS - 1})")))
+    return banded.groupBy(key, "band").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("s")))).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    jaccard_e6_min: int = 0,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate pairs via LSH banding + exact Jaccard verify.
+
+    Returns (id_a, id_b, inter, union, jaccard_e6) with id_a < id_b and
+    jaccard_e6 >= threshold.
+    """
+    sig = minhash_signatures(df, key, text)
+    # cap pathological buckets (viral near-identical content at web scale)
+    sig = sig.withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("band", "minhash"))
+    ).filter(F.col("bn") <= max_bucket)
+
+    a = sig.select(F.col(key).alias("id_a"), "band", "minhash")
+    b = sig.select(F.col(key).alias("id_b"), "band", "minhash")
+    pairs = (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = _shingles(df, text).select(
+        F.col(key), F.explode("shingles").alias("s")
+    )
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    sa = sh.select(F.col(key).alias("id_a"), "s")
+    sb = sh.select(F.col(key).alias("id_b"), "s")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(key).alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col(key).alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard_e6", F.expr("CAST(inter * 1000000 DIV `union` AS BIGINT)"))
+        .filter(F.col("jaccard_e6") >= jaccard_e6_min)
+        .select("id_a", "id_b", "inter", "union", "jaccard_e6")
+    )
+    return out
+
+
+def simhash_fragments(text: str, dialect: str) -> tuple[str, str]:
+    """(hash_array_sql, signature_sql) for a 60-bit SimHash of ``text``.
+
+    Token hash = first 15 md5 hex digits as a 60-bit int; bit k of the
+    signature is set iff tokens with bit k set are a (weak) majority.
+    ``signature_sql`` references the bound array as ``__h`` and the token
+    count as ``__n`` — bind both first (withColumn / CTE).  Pure
+    built-ins -> whole-stage codegen, no shuffle, no Python.
+    """
+    if dialect == "spark":
+        toks = f"split(trim({text}), '\\\\s+')"
+        hashes = f"transform({toks}, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        cnt = lambda k: f"size(filter(__h, h -> ((shiftright(h, {k})) & 1) = 1))"  # noqa: E731
+    else:
+        toks = f"string_split_regex(trim({text}), '\\s+')"
+        hashes = f"list_transform({toks}, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT))"
+        cnt = lambda k: f"len(list_filter(__h, h -> ((h >> {k}) & 1) = 1))"  # noqa: E731
+    bits = [
+        f"(CASE WHEN 2 * {cnt(k)} >= __n THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(SIMHASH_BITS)
+    ]
+    return hashes, "(" + " + ".join(bits) + ")"
+
+
+def with_simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
+    hashes, total = simhash_fragments(text, "spark")
+    return (
+        df.withColumn("__h", F.expr(hashes))
+        .withColumn("__n", F.expr("size(__h)"))
+        .withColumn(out, F.expr(total))
+        .drop("__h", "__n")
+    )

@@ -1,0 +1,197 @@
+"""Training-data pipeline queries: text quality / language-ID /
+fingerprinting, exact + MinHash-LSH + SimHash dedup, and embedding
+similarity search — each with a DuckDB oracle where SQL-expressible
+(the LSH-ANN variant is rows-only by design; its recall is pytest-gated
+against brute force)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pydriosm_spark.functions import text as T
+from pydriosm_spark.operators import dedup, similarity
+
+JACCARD_E6_MIN = 100_000  # 0.1 — near-dup threshold for the pair query
+TOPK = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = T.quality_select_sql("text", "spark")
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[F.expr(sql).alias(name) for name, sql in cols.items()]
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(T.langid_sql("text", "spark")).alias("lang_pred")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(T.fingerprint_sql("text", "spark")).alias("fp")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the md5 of the first-3-token prefix (guarantees
+    real duplicate groups in the synthetic corpus)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "fp", F.expr("md5(concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, 3)))")
+    )
+    return dedup.dedup_exact(d.select("doc_id", "fp"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), jaccard_e6_min=JACCARD_E6_MIN
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union").cast("long").alias("union"),
+        "jaccard_e6",
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.with_simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_bruteforce(spark, _emb(spark, sf_dir), k=TOPK)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — no SQL oracle (recall-gated in tests)."""
+    return similarity.cosine_topk_lsh(spark, _emb(spark, sf_dir), dim=64, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def oracle_quality() -> str:
+    cols = T.quality_select_sql("text", "duckdb")
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
+def oracle_langid() -> str:
+    return f"SELECT doc_id, {T.langid_sql('text', 'duckdb')} AS lang_pred FROM documents"
+
+
+def oracle_fingerprint() -> str:
+    return f"SELECT doc_id, {T.fingerprint_sql('text', 'duckdb')} AS fp FROM documents"
+
+
+def oracle_dedup_exact() -> str:
+    return """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string((string_split_regex(trim(text), '\\s+'))[1:3], ' ')) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM f"""
+
+
+def _duck_shingles_cte() -> str:
+    k = dedup.SHINGLE_K
+    return f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - {k - 2}),
+                             i -> array_to_string(t[i:i+{k - 1}], ' '))
+    END)) AS s
+  FROM toks
+)"""
+
+
+def oracle_minhash_pairs() -> str:
+    B = dedup.BANDS
+    return f"""
+WITH {_duck_shingles_cte().strip()},
+sig AS (
+  SELECT doc_id, b.band, min(md5(b.band::VARCHAR || ':' || s)) AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, {B})) AS band) b
+  GROUP BY doc_id, b.band
+),
+capped AS (
+  SELECT *, count(*) OVER (PARTITION BY band, minhash) AS bn FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.minhash = b.minhash
+  WHERE a.doc_id < b.doc_id AND a.bn <= 64 AND b.bn <= 64
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.id_a
+  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b, i.inter, na.n_sh + nb.n_sh - i.inter AS "union",
+       (i.inter * 1000000) // (na.n_sh + nb.n_sh - i.inter) AS jaccard_e6
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE (i.inter * 1000000) // (na.n_sh + nb.n_sh - i.inter) >= {JACCARD_E6_MIN}"""
+
+
+def oracle_simhash() -> str:
+    hashes, total = dedup.simhash_fragments("text", "duckdb")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {hashes} AS __h, len({hashes}) AS __n FROM documents
+)
+SELECT doc_id, {total} AS simhash FROM h"""
+
+
+def oracle_cosine_topk() -> str:
+    return f"""
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id,
+       CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+       neighbor_id
+FROM sims
+QUALIFY rank <= {TOPK}"""
+
+
+def registry() -> dict:
+    return {
+        "text_quality": (q_quality, oracle_quality()),
+        "langid": (q_langid, oracle_langid()),
+        "fingerprint": (q_fingerprint, oracle_fingerprint()),
+        "dedup_exact": (q_dedup_exact, oracle_dedup_exact()),
+        "dedup_minhash_lsh": (q_minhash_pairs, oracle_minhash_pairs()),
+        "simhash": (q_simhash, oracle_simhash()),
+        "cosine_topk": (q_cosine_topk, oracle_cosine_topk()),
+        "ann_lsh": (q_ann_lsh, None),
+    }

@@ -1,0 +1,70 @@
+"""North-rule invariants:
+
+1. extraction is byte-identical per url (html -> text round-trip),
+2. join output rows and tile assignments are IDENTICAL across
+   parallelism levels (local stand-in for N vs 4N executors),
+3. the approximate ANN path hits a floor recall vs brute force.
+"""
+
+import pandas as pd
+
+from pydriosm_spark import queries as Q
+from pydriosm_spark.functions import extract
+from pydriosm_spark.sources import synth
+from tests.conftest import SF_SMOKE
+
+
+def _canon(df):
+    p = df.toPandas()
+    return p[sorted(p.columns)].sort_values(sorted(p.columns), ignore_index=True)
+
+
+def test_extraction_byte_identical(spark):
+    web = synth.webpages(spark, SF_SMOKE)
+    w = extract.extract_text(web).select("url", "text", "extracted_text")
+    bad = w.filter("extracted_text <> text OR extracted_text IS NULL")
+    assert bad.count() == 0
+    # and the html itself decodes to a superset containing the text
+    assert w.count() == 500
+
+
+def test_outputs_identical_across_parallelism(tmp_path):
+    """Spark allows one context per JVM, so each parallelism level runs
+    in its own subprocess (the honest stand-in for separate clusters)."""
+    import subprocess
+    import sys
+
+    names = ["spatial_join_zones", "tile_assign", "knn_ring", "dedup_minhash_lsh"]
+    prog = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pydriosm_spark import queries as Q
+from pydriosm_spark.session import get_spark
+cpus, out_dir = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(parallelism=cpus, app_name=f"invariance_{cpus}")
+for name in sys.argv[3].split(","):
+    fn, _ = Q.registry()[name]
+    p = fn(spark, "%s").toPandas()
+    p = p[sorted(p.columns)].sort_values(sorted(p.columns), ignore_index=True)
+    p.to_parquet(f"{out_dir}/{name}_{cpus}.parquet")
+spark.stop()
+""" % SF_SMOKE
+    for cpus in (2, 8):
+        subprocess.run(
+            [sys.executable, "-c", prog, str(cpus), str(tmp_path), ",".join(names)],
+            check=True,
+            capture_output=True,
+        )
+    for name in names:
+        a = pd.read_parquet(tmp_path / f"{name}_2.parquet")
+        b = pd.read_parquet(tmp_path / f"{name}_8.parquet")
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ann_recall_floor(spark):
+    exact = _canon(Q.registry()["cosine_topk"][0](spark, SF_SMOKE))
+    approx = _canon(Q.registry()["ann_lsh"][0](spark, SF_SMOKE))
+    e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.15, f"ANN recall {recall:.3f} below floor"
