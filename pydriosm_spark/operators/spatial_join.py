@@ -62,13 +62,22 @@ def spatial_join_points_polygons(
     lon: str = "lon",
     lat: str = "lat",
     refine: bool = True,
+    mode: str = "broadcast",
+    salt_src: str = "doc_id",
+    target_rows_per_task: int = 1_000_000,
 ) -> DataFrame:
-    """Join a (large) point DataFrame against a (small) polygon set.
+    """Join a (large) point DataFrame against a polygon set.
 
     Returns ``points`` columns + ``feature_id`` for every containing
     polygon (inner join; points in no polygon drop, points in several
     emit several rows).  Covers of one polygon are disjoint, so no
     dedup pass is needed.
+
+    ``mode="broadcast"`` (default): cover is broadcast, fact side never
+    shuffles — the 100 TB plan whenever the polygon side fits.
+    ``mode="shuffle_salted"``: shuffle hash join on cell with explicit
+    histogram-driven salting of hot cells (operators/skew.py) — the plan
+    for polygon sides too large to broadcast.  Results are identical.
     """
     cover_rows = build_cover(polygons, res)
     cover = spark.createDataFrame(cover_rows, "feature_id int, cell long, full boolean")
@@ -76,11 +85,15 @@ def spatial_join_points_polygons(
     res_set = sorted({int(quadcell.cell_res(c)) for _, c, _ in cover_rows})
     # probe side: ancestor cell per cover resolution — native exprs only
     cells = F.array(*[F.expr(quadcell.cell_expr(lon, lat, r)) for r in res_set])
-    probe = points.withColumn("__cell", F.explode(cells))
+    probe = points.withColumn("cell", F.explode(cells))
 
-    joined = probe.join(F.broadcast(cover), probe["__cell"] == cover["cell"], "inner").drop(
-        "cell", "__cell"
-    )
+    if mode == "shuffle_salted":
+        from pydriosm_spark.operators.skew import hot_cell_salts, salted_join
+
+        salts = hot_cell_salts(probe, "cell", target_rows_per_task)
+        joined = salted_join(probe, cover, "cell", salt_src, salts).drop("cell")
+    else:
+        joined = probe.join(F.broadcast(cover), "cell", "inner").drop("cell")
 
     if not refine:
         return joined.drop("full")

@@ -1,0 +1,194 @@
+"""Relational operator coverage over the TPC-H-ish driver tables:
+scans + pushed-down filters, broadcast dimension joins, shuffle joins,
+partial+final hash aggregation, window functions, sorts/limits,
+semi/anti joins, distinct, and event-time tumbling windows.
+
+These exercise the Catalyst paths the spatial engine rides on (the
+reference has no joins or windows at all — SURVEY.md §2.3/§2.5); each
+query is a direct analogue of a capability box with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style partial+final hash agg with pushed-down filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_price_c"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("sum_disc_price_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-chain join: region <- nation <- customer, agg."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("sum_acctbal_c"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group + window top-k per priority (sort/limit box)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4")
+        )
+    )
+    j = o.join(rev, o.o_orderkey == rev.l_orderkey)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("revenue_e4").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("o_orderpriority", F.col("rank").cast("long").alias("rank"), "o_orderkey", "revenue_e4")
+    )
+
+
+def q_unshipped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join box: customers with orders but no 'F' order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    no_f = with_orders.join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        with_orders.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return no_f.select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (batch form of the
+    streaming operator in pydriosm_spark/streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+    )
+
+
+def q_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct box + string functions: distinct brand/type prefix."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_brand", F.split("p_type", " ").getItem(0).alias("type_head"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def oracle_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def oracle_market_share() -> str:
+    return """
+SELECT r_name, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_acctbal_c
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+
+def oracle_top_orders() -> str:
+    return """
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY revenue_e4 DESC, o_orderkey ASC) AS BIGINT) AS rank,
+       o_orderkey, revenue_e4
+FROM orders JOIN rev ON o_orderkey = l_orderkey
+QUALIFY rank <= 5"""
+
+
+def oracle_unshipped_customers() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
+
+
+def oracle_event_windows() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+FROM events GROUP BY 1, 2"""
+
+
+def oracle_part_distinct() -> str:
+    return """
+SELECT DISTINCT p_brand, string_split(p_type, ' ')[1] AS type_head FROM part"""
+
+
+def registry() -> dict:
+    return {
+        "rel_pricing_summary": (q_pricing_summary, oracle_pricing_summary()),
+        "rel_market_share": (q_market_share, oracle_market_share()),
+        "rel_top_orders": (q_top_orders, oracle_top_orders()),
+        "rel_semi_anti": (q_unshipped_customers, oracle_unshipped_customers()),
+        "rel_event_windows": (q_event_windows, oracle_event_windows()),
+        "rel_distinct": (q_part_distinct, oracle_part_distinct()),
+    }
