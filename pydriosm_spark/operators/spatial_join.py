@@ -41,16 +41,35 @@ from pydriosm_spark.cells import quadcell
 from pydriosm_spark.geometry.ops import points_in_polygon
 
 
+_COVER_MEMO: dict = {}
+
+
 def build_cover(polygons: Sequence[dict], res: int, min_res: int | None = None):
     """Driver-side: polygons -> [(feature_id, cell, full)] compact covers.
 
     ``polygons``: iterable of {"feature_id": int, "rings": [ndarray(N,2)...]}.
+    Memoized on (geometry bytes, res): cover computation is pure and the
+    same polygon set is typically joined many times per session.
     """
+    key = (
+        res,
+        min_res,
+        tuple(
+            (
+                int(p["feature_id"]),
+                tuple(np.asarray(r, dtype=np.float64).tobytes() for r in p["rings"]),
+            )
+            for p in polygons
+        ),
+    )
+    if key in _COVER_MEMO:
+        return _COVER_MEMO[key]
     rows = []
     for p in polygons:
         rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
         for cell, full in quadcell.cover_polygon(rings, res, min_res=min_res):
             rows.append((int(p["feature_id"]), int(cell), bool(full)))
+    _COVER_MEMO[key] = rows
     return rows
 
 
@@ -65,6 +84,8 @@ def spatial_join_points_polygons(
     mode: str = "broadcast",
     salt_src: str = "doc_id",
     target_rows_per_task: int = 1_000_000,
+    cover_mode: str = "auto",
+    max_flat_cells: int = 65536,
 ) -> DataFrame:
     """Join a (large) point DataFrame against a polygon set.
 
@@ -78,14 +99,30 @@ def spatial_join_points_polygons(
     ``mode="shuffle_salted"``: shuffle hash join on cell with explicit
     histogram-driven salting of hot cells (operators/skew.py) — the plan
     for polygon sides too large to broadcast.  Results are identical.
+
+    ``cover_mode``: a *flat* (single-resolution) cover costs more cover
+    cells but zero probe-side explode — one cell expression per point,
+    one equi-join.  A *compact* cover bounds the cover size (coarse
+    cells inside, fine on the boundary) at the price of exploding each
+    point into one ancestor per cover resolution (<= 4).  ``auto`` uses
+    flat while the flat cover stays under ``max_flat_cells`` (the right
+    trade at 100 TB: never multiply the fact side when the broadcast
+    side can absorb the cost), else compact.
     """
-    cover_rows = build_cover(polygons, res)
+    flat = cover_mode == "flat" or (
+        cover_mode == "auto"
+        and len(build_cover(polygons, res, min_res=res)) <= max_flat_cells
+    )
+    cover_rows = build_cover(polygons, res, min_res=res if flat else None)
     cover = spark.createDataFrame(cover_rows, "feature_id int, cell long, full boolean")
 
     res_set = sorted({int(quadcell.cell_res(c)) for _, c, _ in cover_rows})
     # probe side: ancestor cell per cover resolution — native exprs only
-    cells = F.array(*[F.expr(quadcell.cell_expr(lon, lat, r)) for r in res_set])
-    probe = points.withColumn("cell", F.explode(cells))
+    if len(res_set) == 1:
+        probe = points.withColumn("cell", F.expr(quadcell.cell_expr(lon, lat, res_set[0])))
+    else:
+        cells = F.array(*[F.expr(quadcell.cell_expr(lon, lat, r)) for r in res_set])
+        probe = points.withColumn("cell", F.explode(cells))
 
     if mode == "shuffle_salted":
         from pydriosm_spark.operators.skew import hot_cell_salts, salted_join
