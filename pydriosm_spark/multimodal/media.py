@@ -1,0 +1,217 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Large-scale training pipelines carry media as binary columns; the engine
+must provide decode / feature-extract / resize / frame-sample operators
+with real Spark plumbing — schema, partitioning, Arrow batch shape —
+regardless of which codec library is present.  This container has no
+image/audio libs, so payloads use a documented deterministic container
+format ("fake codec") and the decode kernels parse those bytes for real:
+
+    image:  b"FIMG" | w:int32 | h:int32 | w*h*3 bytes (RGB, row-major)
+    audio:  b"FAUD" | sample_rate:int32 | n:int32 | n int16 PCM samples
+    video:  b"FVID" | w:int32 | h:int32 | n_frames:int32 | frames of w*h
+            grayscale bytes
+
+Payload bytes are generated from md5 streams keyed by media_id —
+deterministic across engines, runs, and parallelism.  Swapping in PIL /
+librosa / pyav later only replaces the numpy body of each kernel; the
+DataFrame surface (operator signatures and output schemas) is final.
+
+All kernels run in ``mapInPandas`` over Arrow batches; per-row numpy
+``frombuffer`` views — no per-element Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FIMG", b"FAUD", b"FVID"
+
+
+# ---------------------------------------------------------------------------
+# deterministic payload synthesis (driver/test side)
+# ---------------------------------------------------------------------------
+
+def _stream_bytes(key: str, n: int) -> bytes:
+    """n pseudo-random bytes from an md5 counter stream (deterministic)."""
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{key}:{c}".encode()).digest()
+        c += 1
+    return bytes(out[:n])
+
+
+def make_image(media_id: int, w: int, h: int) -> bytes:
+    return (
+        IMG_MAGIC
+        + np.int32(w).tobytes()
+        + np.int32(h).tobytes()
+        + _stream_bytes(f"img{media_id}", w * h * 3)
+    )
+
+
+def make_audio(media_id: int, sr: int, n: int) -> bytes:
+    pcm = np.frombuffer(_stream_bytes(f"aud{media_id}", n * 2), dtype=np.int16)
+    return AUD_MAGIC + np.int32(sr).tobytes() + np.int32(n).tobytes() + pcm.tobytes()
+
+
+def make_video(media_id: int, w: int, h: int, n_frames: int) -> bytes:
+    return (
+        VID_MAGIC
+        + np.int32(w).tobytes()
+        + np.int32(h).tobytes()
+        + np.int32(n_frames).tobytes()
+        + _stream_bytes(f"vid{media_id}", w * h * n_frames)
+    )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table from documents (deterministic): one
+    media object per doc, kind cycling image/audio/video, dimensions
+    derived from doc_id arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    schema = "media_id long, kind string, payload binary, meta_w int, meta_h int, meta_sr int, meta_n int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["doc_id"].to_numpy():
+                i = int(i)
+                k = i % 3
+                if k == 0:
+                    w, h = 8 + i % 9, 6 + i % 7
+                    rows.append((i, "image", make_image(i, w, h), w, h, 0, 0))
+                elif k == 1:
+                    sr, n = 8000, 256 + (i % 128)
+                    rows.append((i, "audio", make_audio(i, sr, n), 0, 0, sr, n))
+                else:
+                    w, h, nf = 8, 6, 4 + i % 5
+                    rows.append((i, "video", make_video(i, w, h, nf), w, h, 0, nf))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "meta_w", "meta_h", "meta_sr", "meta_n"],
+            )
+
+    return docs.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode images -> (media_id, width, height, mean_r, mean_g, mean_b)
+    with channel means scaled to integer e4 (bit-stable)."""
+    schema = "media_id long, width int, height int, mean_r_e4 long, mean_g_e4 long, mean_b_e4 long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                buf = bytes(payload)
+                assert buf[:4] == IMG_MAGIC, "not an image payload"
+                w = int(np.frombuffer(buf[4:8], dtype=np.int32)[0])
+                h = int(np.frombuffer(buf[8:12], dtype=np.int32)[0])
+                px = np.frombuffer(buf[12 : 12 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                means_e4 = (sums * 10000) // (w * h)
+                out.append((int(mid), w, h, *[int(x) for x in means_e4]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_r_e4", "mean_g_e4", "mean_b_e4"]
+            )
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel, schema
+    )
+
+
+def image_resize(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Block-mean downsample by ``factor`` -> new FIMG payload + dims."""
+    schema = "media_id long, width int, height int, payload binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                buf = bytes(payload)
+                w = int(np.frombuffer(buf[4:8], dtype=np.int32)[0])
+                h = int(np.frombuffer(buf[8:12], dtype=np.int32)[0])
+                px = np.frombuffer(buf[12 : 12 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+                nw, nh = max(1, w // factor), max(1, h // factor)
+                px = px[: nh * factor, : nw * factor]
+                small = (
+                    px.reshape(nh, factor, nw, factor, 3).astype(np.uint32).mean(axis=(1, 3))
+                ).astype(np.uint8)
+                out.append(
+                    (
+                        int(mid),
+                        nw,
+                        nh,
+                        IMG_MAGIC + np.int32(nw).tobytes() + np.int32(nh).tobytes() + small.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "payload"])
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel, schema
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_samples, rms_e4, zero_crossings)."""
+    schema = "media_id long, sample_rate int, n_samples int, rms_e4 long, zero_crossings long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                buf = bytes(payload)
+                assert buf[:4] == AUD_MAGIC
+                sr = int(np.frombuffer(buf[4:8], dtype=np.int32)[0])
+                n = int(np.frombuffer(buf[8:12], dtype=np.int32)[0])
+                pcm = np.frombuffer(buf[12 : 12 + n * 2], dtype=np.int16).astype(np.int64)
+                rms_e4 = int(np.sqrt((pcm * pcm).mean()) * 10000) // 1
+                zc = int(((pcm[:-1] * pcm[1:]) < 0).sum())
+                out.append((int(mid), sr, n, rms_e4, zc))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sample_rate", "n_samples", "rms_e4", "zero_crossings"]
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        kernel, schema
+    )
+
+
+def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Sample every k-th frame -> one row per sampled frame with the frame
+    bytes re-wrapped as a grayscale FIMG payload (exploded fan-out)."""
+    schema = "media_id long, frame_idx int, width int, height int, frame_mean_e4 long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                buf = bytes(payload)
+                assert buf[:4] == VID_MAGIC
+                w = int(np.frombuffer(buf[4:8], dtype=np.int32)[0])
+                h = int(np.frombuffer(buf[8:12], dtype=np.int32)[0])
+                nf = int(np.frombuffer(buf[12:16], dtype=np.int32)[0])
+                frames = np.frombuffer(buf[16 : 16 + w * h * nf], dtype=np.uint8).reshape(nf, h, w)
+                for fi in range(0, nf, every):
+                    fm = int(frames[fi].astype(np.int64).sum() * 10000 // (w * h))
+                    out.append((int(mid), fi, w, h, fm))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "width", "height", "frame_mean_e4"]
+            )
+
+    return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        kernel, schema
+    )

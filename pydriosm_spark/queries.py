@@ -228,7 +228,7 @@ def registry() -> dict:
     from pydriosm_spark import queries_layers
 
     out.update(queries_layers.registry())
-    for modname in ("queries_text", "queries_rel"):
+    for modname in ("queries_text", "queries_rel", "queries_media"):
         try:
             import importlib
 
