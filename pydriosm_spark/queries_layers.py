@@ -117,9 +117,51 @@ WHERE {_fclass_case()} IN ('rail', 'tram', 'ferry')
 GROUP BY 1, 2"""
 
 
+GEOM_TYPE_OF_LAYER = {
+    "points": "Point",
+    "lines": "LineString",
+    "multilinestrings": "MultiLineString",
+    "multipolygons": "MultiPolygon",
+    "other_relations": "GeometryCollection",
+}
+
+
+def q_layer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-region layer merge (U3): documents split into two synthetic
+    regions, per-region layer frames unioned with provenance, counted per
+    (region, layer, geom_type) — the reference's merge_layer_shps +
+    per-geom-type grouping re-expressed (parser.py:1186-1365, 1097-1106)."""
+    from pydriosm_spark.operators.merge import merge_layer_frames
+
+    lf = layers.layer_features(spark, sf_dir)
+    east = lf.filter(F.col("id") % 2 == 0)
+    west = lf.filter(F.col("id") % 2 == 1)
+    merged = merge_layer_frames([east, west], ["east", "west"])
+    geom_case = "(CASE layer " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in GEOM_TYPE_OF_LAYER.items()
+    ) + " END)"
+    return (
+        merged.withColumn("geom_type", F.expr(geom_case))
+        .groupBy("region", "layer", "geom_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def oracle_layer_merge() -> str:
+    geom_case = "(CASE doc_id % 5 " + " ".join(
+        f"WHEN {k} THEN '{GEOM_TYPE_OF_LAYER[name]}'" for k, name in enumerate(layers.LAYERS)
+    ) + " END)"
+    return f"""
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'east' ELSE 'west' END AS region,
+       {_layer_case()} AS layer, {geom_case} AS geom_type, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2, 3"""
+
+
 def registry() -> dict:
     return {
         "layer_geojson_wkt": (q_layer_wkt, oracle_layer_wkt()),
         "hstore_parse": (q_hstore, oracle_hstore()),
         "fclass_filter_counts": (q_fclass_counts, oracle_fclass_counts()),
+        "layer_merge_regions": (q_layer_merge, oracle_layer_merge()),
     }
