@@ -1,0 +1,389 @@
+"""From-scratch OSM PBF reader: minimal protobuf wire decoder + the OSM
+fileformat/osmformat containers + GDAL-style layer assembly for points.
+
+The reference's core scan (S1/S2) delegates PBF decoding to GDAL's OSM
+driver (/root/reference/pydriosm/reader/parser.py:1925-1955) and walks
+features one Python object at a time (:1638) — the scalability wall.
+This module re-implements the same input from the public format specs:
+
+* protobuf wire format: varints, zigzag, length-delimited fields — a
+  ~40-line scanner (`_fields`) instead of the protobuf library (absent
+  in this environment).
+* OSM PBF framing: [int32 BE header size][BlobHeader][Blob], Blob raw or
+  zlib; OSMData blobs hold PrimitiveBlocks with a string table,
+  DenseNodes (delta-packed ids/lats/lons + key/val index pairs), Ways
+  and Relations (packed key/val/ref arrays).
+* lat/lon = 1e-9 * (offset + granularity * raw), rounded to the 1e-7
+  OSM precision GDAL emits.
+
+Layer assembly implements the GDAL osmconf 'points' contract the
+reference inherits: a node becomes a point feature iff it has >= 1
+non-ignored tag; the 9 standard attributes become columns and the rest
+fold into an hstore-style ``other_tags`` string — byte-compatible with
+the reference's golden fixtures (verified in tests/test_pbf.py against
+tests/data/rutland/points_1.pkl).
+
+Spark surface: ``read_pbf_nodes/ways/relations`` parse inside
+``mapInPandas`` over ``binaryFile`` rows (one task per .pbf file; at
+100 TB the unit of parallelism is the 8 MB Blob, which this decoder
+exposes via ``iter_blocks`` so a splitting DataSource can schedule
+per-blob tasks).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# GDAL osmconf.ini default point attributes (reference golden schema)
+POINT_ATTRS = ["name", "barrier", "highway", "ref", "address", "is_in", "place", "man_made"]
+#: keys that do NOT make a node significant (GDAL OSM driver hardcoded
+#: insignificance list); empirically validated against the reference's
+#: golden corpus: 'note'/'fixme' DO confer significance...
+SIG_IGNORE = {"created_by", "converted_by", "source", "time", "ele"}
+#: ...but are still dropped from other_tags (osmconf.ini 'ignore=' list)
+OTHER_TAGS_IGNORE = SIG_IGNORE | {"note", "openGeoDB:", "fixme", "FIXME"}
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire scanner
+# ---------------------------------------------------------------------------
+
+def _varint(buf: bytes, i: int) -> tuple[int, int]:
+    r = 0
+    s = 0
+    while True:
+        b = buf[i]
+        i += 1
+        r |= (b & 0x7F) << s
+        if not b & 0x80:
+            return r, i
+        s += 7
+
+
+def _zz(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _fields(buf: bytes):
+    """Yield (field_no, wire_type, value) over a protobuf message.
+    value: int for varint/fixed, bytes for length-delimited."""
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _varint(buf, i)
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _varint(buf, i)
+        elif wt == 2:
+            ln, i = _varint(buf, i)
+            v = buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            v = struct.unpack("<I", buf[i : i + 4])[0]
+            i += 4
+        elif wt == 1:
+            v = struct.unpack("<Q", buf[i : i + 8])[0]
+            i += 8
+        else:
+            raise ValueError(f"wire type {wt}")
+        yield fno, wt, v
+
+
+def _packed_varints(buf: bytes, zigzag: bool = False) -> list[int]:
+    out = []
+    i, n = 0, len(buf)
+    while i < n:
+        v, i = _varint(buf, i)
+        out.append(_zz(v) if zigzag else v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OSM PBF framing
+# ---------------------------------------------------------------------------
+
+def iter_blocks(buf: bytes):
+    """Yield (block_type, decompressed_block_bytes) for each blob."""
+    i, n = 0, len(buf)
+    while i + 4 <= n:
+        (hlen,) = struct.unpack(">i", buf[i : i + 4])
+        i += 4
+        header = buf[i : i + hlen]
+        i += hlen
+        btype, dsize = "", 0
+        for fno, _wt, v in _fields(header):
+            if fno == 1:
+                btype = v.decode()
+            elif fno == 3:
+                dsize = v
+        blob = buf[i : i + dsize]
+        i += dsize
+        raw = None
+        for fno, _wt, v in _fields(blob):
+            if fno == 1:
+                raw = v
+            elif fno == 3:
+                raw = zlib.decompress(v)
+        yield btype, raw
+
+
+def _parse_stringtable(buf: bytes) -> list[str]:
+    return [v.decode("utf-8") for fno, _wt, v in _fields(buf) if fno == 1]
+
+
+def parse_block(block: bytes):
+    """PrimitiveBlock -> (nodes, ways, relations) lists.
+
+    nodes: (id, lat, lon, {tags}); ways: (id, [refs], {tags});
+    relations: (id, [(type, ref, role)], {tags}).
+    """
+    st: list[str] = []
+    groups: list[bytes] = []
+    gran, lat_off, lon_off = 100, 0, 0
+    for fno, _wt, v in _fields(block):
+        if fno == 1:
+            st = _parse_stringtable(v)
+        elif fno == 2:
+            groups.append(v)
+        elif fno == 17:
+            gran = v
+        elif fno == 19:
+            lat_off = v
+        elif fno == 20:
+            lon_off = v
+
+    nodes, ways, rels = [], [], []
+
+    def coord(off, g, raw):
+        return round(1e-9 * (off + g * raw), 7)
+
+    for g in groups:
+        for fno, _wt, v in _fields(g):
+            if fno == 2:  # DenseNodes
+                ids = lats = lons = None
+                kv: list[int] = []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        ids = np.cumsum(_packed_varints(v2, zigzag=True))
+                    elif f2 == 8:
+                        lats = np.cumsum(_packed_varints(v2, zigzag=True))
+                    elif f2 == 9:
+                        lons = np.cumsum(_packed_varints(v2, zigzag=True))
+                    elif f2 == 10:
+                        kv = _packed_varints(v2)
+                tags_per_node: list[dict] = []
+                if kv:
+                    cur: dict = {}
+                    j = 0
+                    while j < len(kv):
+                        if kv[j] == 0:
+                            tags_per_node.append(cur)
+                            cur = {}
+                            j += 1
+                        else:
+                            cur[st[kv[j]]] = st[kv[j + 1]]
+                            j += 2
+                    if cur:
+                        tags_per_node.append(cur)
+                for idx in range(len(ids)):
+                    t = tags_per_node[idx] if idx < len(tags_per_node) else {}
+                    nodes.append(
+                        (
+                            int(ids[idx]),
+                            coord(lat_off, gran, int(lats[idx])),
+                            coord(lon_off, gran, int(lons[idx])),
+                            t,
+                        )
+                    )
+            elif fno == 1:  # plain Node (rare)
+                nid, nlat, nlon, keys, vals = 0, 0, 0, [], []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        nid = _zz(v2) if isinstance(v2, int) else v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        nlat = _zz(v2)
+                    elif f2 == 9:
+                        nlon = _zz(v2)
+                nodes.append(
+                    (
+                        nid,
+                        coord(lat_off, gran, nlat),
+                        coord(lon_off, gran, nlon),
+                        {st[k]: st[w] for k, w in zip(keys, vals)},
+                    )
+                )
+            elif fno == 3:  # Way
+                wid, keys, vals, refs = 0, [], [], []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        refs = list(np.cumsum(_packed_varints(v2, zigzag=True)))
+                ways.append((wid, [int(r) for r in refs], {st[k]: st[w] for k, w in zip(keys, vals)}))
+            elif fno == 4:  # Relation
+                rid, keys, vals, roles, mids, mtypes = 0, [], [], [], [], []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        roles = _packed_varints(v2)
+                    elif f2 == 9:
+                        mids = list(np.cumsum(_packed_varints(v2, zigzag=True)))
+                    elif f2 == 10:
+                        mtypes = _packed_varints(v2)
+                members = [
+                    (["node", "way", "relation"][t], int(m), st[r])
+                    for t, m, r in zip(mtypes, mids, roles)
+                ]
+                rels.append((rid, members, {st[k]: st[w] for k, w in zip(keys, vals)}))
+    return nodes, ways, rels
+
+
+def parse_pbf(buf: bytes):
+    """Whole-file parse -> (nodes, ways, relations)."""
+    nodes, ways, rels = [], [], []
+    for btype, raw in iter_blocks(buf):
+        if btype != "OSMData" or raw is None:
+            continue
+        n, w, r = parse_block(raw)
+        nodes.extend(n)
+        ways.extend(w)
+        rels.extend(r)
+    return nodes, ways, rels
+
+
+# ---------------------------------------------------------------------------
+# GDAL-osmconf points layer assembly (reference golden semantics)
+# ---------------------------------------------------------------------------
+
+def _hstore_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def node_to_point_feature(nid: int, lat: float, lon: float, tags: dict) -> dict | None:
+    """GDAL 'points' rule: emit iff the node has >= 1 significant tag;
+    standard attrs -> columns, remaining non-ignored -> hstore string."""
+    if not any(k not in SIG_IGNORE for k in tags):
+        return None
+    rest = {k: v for k, v in tags.items() if k not in OTHER_TAGS_IGNORE}
+    props = {"osm_id": str(nid)}
+    for a in POINT_ATTRS:
+        props[a] = rest.pop(a, None)
+    props["other_tags"] = (
+        ",".join(f'"{_hstore_escape(k)}"=>"{_hstore_escape(v)}"' for k, v in rest.items())
+        or None
+    )
+    return {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [lon, lat]},
+        "properties": props,
+        "id": nid,
+    }
+
+
+#: attribute columns of the other_relations layer (reference fixture
+#: schema, transformer.py:296-309 family)
+RELATION_ATTRS = ["name", "type"]
+
+
+def assemble_other_relations(nodes, ways, rels):
+    """GDAL 'other_relations' layer (empirically validated against the
+    reference golden corpus): relations whose ``type`` tag is not
+    multipolygon/boundary/route and that have >= 1 member resolvable to a
+    node or way present in the file.  Geometry = GeometryCollection of
+    the resolvable members in member order (node -> Point, way ->
+    LineString over its locatable nodes)."""
+    node_pos = {n[0]: (n[2], n[1]) for n in nodes}  # id -> (lon, lat)
+    way_refs = {w[0]: w[1] for w in ways}
+    out = []
+    for rid, members, tags in rels:
+        if tags.get("type") in ("multipolygon", "boundary", "route"):
+            continue
+        geoms = []
+        for kind, mid, _role in members:
+            if kind == "node" and mid in node_pos:
+                lon, lat = node_pos[mid]
+                geoms.append({"type": "Point", "coordinates": [lon, lat]})
+            elif kind == "way" and mid in way_refs:
+                coords = [list(node_pos[r]) for r in way_refs[mid] if r in node_pos]
+                geoms.append({"type": "LineString", "coordinates": coords})
+        if not geoms:
+            continue
+        rest = {k: v for k, v in tags.items() if k not in OTHER_TAGS_IGNORE}
+        props = {"osm_id": str(rid)}
+        for a in RELATION_ATTRS:
+            props[a] = rest.pop(a, None)
+        props["other_tags"] = (
+            ",".join(f'"{_hstore_escape(k)}"=>"{_hstore_escape(v)}"' for k, v in rest.items())
+            or None
+        )
+        out.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "GeometryCollection", "geometries": geoms},
+                "properties": props,
+                "id": rid,
+            }
+        )
+    out.sort(key=lambda f: f["id"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+def read_pbf_nodes(spark: SparkSession, path: str) -> DataFrame:
+    schema = "id long, lat double, lon double, tags map<string,string>, src_file string"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for fpath, content in zip(b["path"], b["content"]):
+                nodes, _w, _r = parse_pbf(bytes(content))
+                yield pd.DataFrame(
+                    [(i, la, lo, t, fpath) for i, la, lo, t in nodes],
+                    columns=["id", "lat", "lon", "tags", "src_file"],
+                )
+
+    return spark.read.format("binaryFile").load(path).select("path", "content").mapInPandas(
+        decode, schema
+    )
+
+
+def read_pbf_points_layer(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's 'points' layer as a DataFrame (id, lon, lat,
+    properties map incl. other_tags hstore) — parity with read_pbf."""
+    schema = "id long, lon double, lat double, properties map<string,string>, src_file string"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for fpath, content in zip(b["path"], b["content"]):
+                nodes, _w, _r = parse_pbf(bytes(content))
+                rows = []
+                for nid, lat, lon, tags in nodes:
+                    f = node_to_point_feature(nid, lat, lon, tags)
+                    if f is not None:
+                        rows.append((nid, lon, lat, f["properties"], fpath))
+                rows.sort(key=lambda r: r[0])  # reference sorts by id
+                yield pd.DataFrame(rows, columns=["id", "lon", "lat", "properties", "src_file"])
+
+    return spark.read.format("binaryFile").load(path).select("path", "content").mapInPandas(
+        decode, schema
+    )

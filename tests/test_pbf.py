@@ -1,0 +1,65 @@
+"""From-scratch OSM PBF reader vs the reference's GDAL-produced golden
+corpus: BYTE-EXACT feature parity on both golden layers (5,126 points,
+16 other_relations) of the real Rutland extract."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pydriosm_spark.sources import pbf
+
+PBF_PATH = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+GOLD_POINTS = "/root/reference/tests/data/rutland/points_1.pkl"
+GOLD_RELS = "/root/reference/tests/data/rutland/other_relations_1.pkl"
+
+needs_fixture = pytest.mark.skipif(
+    not os.path.exists(PBF_PATH), reason="reference fixture absent"
+)
+
+
+@pytest.fixture(scope="module")
+def parsed():
+    with open(PBF_PATH, "rb") as f:
+        return pbf.parse_pbf(f.read())
+
+
+@needs_fixture
+def test_primitive_counts(parsed):
+    nodes, ways, rels = parsed
+    assert len(nodes) == 170885
+    assert len(ways) == 16730
+    assert len(rels) == 287
+
+
+@needs_fixture
+def test_points_layer_byte_exact(parsed):
+    nodes, _, _ = parsed
+    golden = {f["id"]: f for f in pd.read_pickle(GOLD_POINTS)}
+    ours = {}
+    for nid, lat, lon, tags in nodes:
+        f = pbf.node_to_point_feature(nid, lat, lon, tags)
+        if f is not None:
+            ours[nid] = f
+    assert set(ours) == set(golden)
+    assert sum(1 for k in golden if ours[k] != golden[k]) == 0
+
+
+@needs_fixture
+def test_other_relations_byte_exact(parsed):
+    nodes, ways, rels = parsed
+    golden = {f["id"]: f for f in pd.read_pickle(GOLD_RELS)}
+    ours = {f["id"]: f for f in pbf.assemble_other_relations(nodes, ways, rels)}
+    assert ours == golden
+
+
+@needs_fixture
+def test_spark_points_layer_surface(spark):
+    df = pbf.read_pbf_points_layer(spark, PBF_PATH)
+    assert df.count() == 5126
+    row = df.filter("id = 488432").first()
+    assert row["properties"]["other_tags"] == '"odbl"=>"clean"'
+    assert abs(row["lon"] - -0.5134241) < 1e-9
+    # determinism: reference sorts by id (parser.py:1589-1591)
+    ids = [r["id"] for r in df.limit(5).collect()]
+    assert ids == sorted(ids)
