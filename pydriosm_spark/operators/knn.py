@@ -112,24 +112,46 @@ def knn_cell(
         v,
     )
 
-    w = Window.partitionBy(*point_keys).orderBy(F.col("d2").asc(), F.col("place_id").asc())
+    # Certification without a second window pass: a point is certified
+    # iff it has >= k candidates INSIDE the ball of radius R*S (anything
+    # unseen is outside the R-disk, hence farther than R*S) — and then
+    # its true top-k is a subset of those in-ball candidates.  One
+    # repartition on the point key serves both the certifying count
+    # (map-side partial agg) and the top-k window.
     bound = (R * S) * (R * S)
-    ranked = cand.withColumn("rank", F.row_number().over(w))
-    # certification: the k-th candidate must beat anything outside the disk
-    cert = ranked.withColumn(
-        "__kth_d2",
-        F.max(F.when(F.col("rank") == k, F.col("d2"))).over(Window.partitionBy(*point_keys)),
-    )
-    fast = cert.filter((F.col("__kth_d2") <= bound) & (F.col("rank") <= k)).select(
-        *point_keys, "rank", "place_id", "d2"
+    bc = cand.filter(F.col("d2") <= bound).repartition(*[F.col(c) for c in point_keys])
+    counts = bc.groupBy(*point_keys).agg(F.count(F.lit(1)).alias("__n_ball"))
+    certified = counts.filter(F.col("__n_ball") >= k).select(*point_keys)
+
+    w = Window.partitionBy(*point_keys).orderBy(F.col("d2").asc(), F.col("place_id").asc())
+    fast = (
+        bc.join(certified, point_keys, "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*point_keys, "rank", "place_id", "d2")
     )
 
-    certified_keys = (
-        cert.filter(F.col("__kth_d2") <= bound).select(*point_keys).distinct()
-    )
-    slow_pts = points.join(certified_keys, point_keys, "left_anti")
+    slow_pts = points.join(certified, point_keys, "left_anti")
     slow = knn_bruteforce(slow_pts, places, k=k, point_keys=point_keys, u=u, v=v)
     return fast.unionByName(slow)
+
+
+def knn_auto(
+    spark: SparkSession,
+    points: DataFrame,
+    places: DataFrame,
+    k: int = 3,
+    broadcast_nlj_threshold: int = 4096,
+    **kw,
+) -> DataFrame:
+    """Adaptive dispatch: for a small place side the broadcast
+    nested-loop + WindowGroupLimit brute force beats the cell path (no
+    explode, no extra shuffle); the disk-probe plan takes over once the
+    place side is big enough that |points| x |places| dominates.  The
+    threshold is |places|: below it brute force is strictly better."""
+    if places.count() <= broadcast_nlj_threshold:
+        return knn_bruteforce(points, places, k=k, **{k_: v for k_, v in kw.items() if k_ in ("point_keys", "u", "v")})
+    return knn_cell(spark, points, places, k=k, **kw)
 
 
 # Backwards-compatible name used by the query registry / bench.
