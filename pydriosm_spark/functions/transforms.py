@@ -99,6 +99,36 @@ def geojson_to_wkt(geom: dict) -> str:
     raise ValueError(f"unsupported GeoJSON type {gtype}")
 
 
+#: shapefile shape-type codes (reference parser.py:47-73)
+SHAPE_TYPE_GEOM = {0: None, 1: "Point", 3: "LineString", 5: "Polygon", 8: "MultiPoint"}
+
+
+def shape_to_wkt(shape_type: int, coordinates, parts=None) -> str | None:
+    """(shape_type, coordinates[, parts]) -> WKT — the engine's analogue
+    of the reference's pyshp-row geometry reconstruction
+    (parser.py:435-469): Point/MultiPoint direct; PolyLine/Polygon split
+    at part offsets into MULTILINESTRING / rings."""
+    base = SHAPE_TYPE_GEOM.get(shape_type % 10 if shape_type > 8 else shape_type)
+    if base is None:
+        return None
+    import numpy as np
+
+    pts = [tuple(p) for p in coordinates]
+    if base == "Point":
+        return to_wkt(("Point", pts[0]))
+    if base == "MultiPoint":
+        from pydriosm_spark.geometry.wkt import _fmt
+
+        return "MULTIPOINT (" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts) + ")"
+    offs = list(parts or [0]) + [len(pts)]
+    segs = [np.array(pts[offs[i] : offs[i + 1]]) for i in range(len(offs) - 1) if offs[i + 1] > offs[i]]
+    if base == "LineString":
+        if len(segs) == 1:
+            return to_wkt(("LineString", segs[0]))
+        return to_wkt(("MultiLineString", segs))
+    return to_wkt(("Polygon", [np.array(_close_ring([tuple(p) for p in s])) for s in segs]))
+
+
 # ---------------------------------------------------------------------------
 # vectorized UDFs
 # ---------------------------------------------------------------------------

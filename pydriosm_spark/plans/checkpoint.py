@@ -111,6 +111,27 @@ class PartitionedCheckpoint:
             df.unpersist()
         return CommitResult(written, skipped, rows_total)
 
+    def drop(self, partitions=None) -> list:
+        """Drop partitions (data + manifest entries) — the engine's DDL
+        analogue of the reference's cascade table drops
+        (/root/reference/pydriosm/ios/_ios.py:1780-2009).  ``None`` drops
+        everything.  Returns the dropped partition values."""
+        import shutil
+
+        done = self.committed()
+        targets = list(done) if partitions is None else [str(p) for p in partitions]
+        dropped = []
+        for v in targets:
+            if v not in done:
+                continue
+            shutil.rmtree(os.path.join(self.data_dir, f"{self.col}={v}"), ignore_errors=True)
+            dropped.append(v)
+        keep = [e for k, e in done.items() if k not in set(dropped)]
+        with open(self.manifest_path, "w") as f:
+            for e in keep:
+                f.write(json.dumps(e) + "\n")
+        return dropped
+
     # -- read --------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self.data_dir).parquet(
