@@ -160,6 +160,53 @@ def polygon_contains_box(rings, box) -> bool:
     return bool(points_in_polygon(cx, cy, rings).all())
 
 
+def _segments_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """True if any segment of closed ring ``a`` properly intersects any
+    segment of closed ring ``b`` (orientation test, vectorized over b
+    per a-segment)."""
+    ax0, ay0, ax1, ay1 = a[:-1, 0], a[:-1, 1], a[1:, 0], a[1:, 1]
+    bx0, by0, bx1, by1 = b[:-1, 0], b[:-1, 1], b[1:, 0], b[1:, 1]
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    for i in range(ax0.shape[0]):
+        d1 = orient(ax0[i], ay0[i], ax1[i], ay1[i], bx0, by0)
+        d2 = orient(ax0[i], ay0[i], ax1[i], ay1[i], bx1, by1)
+        d3 = orient(bx0, by0, bx1, by1, ax0[i], ay0[i])
+        d4 = orient(bx0, by0, bx1, by1, ax1[i], ay1[i])
+        if np.any((d1 * d2 < 0) & (d3 * d4 < 0)):
+            return True
+    return False
+
+
+def polygons_intersect(rings_a, rings_b) -> bool:
+    """True iff two polygons (outer+holes ring lists) share interior
+    area or touch: vertex-in-other tests both ways + proper edge
+    crossings.  Exact for the simple-polygon inputs the engine carries
+    (callers keep vertices off the other polygon's edges)."""
+    pa, pb = polygon_bbox(rings_a), polygon_bbox(rings_b)
+    if pa[2] < pb[0] or pb[2] < pa[0] or pa[3] < pb[1] or pb[3] < pa[1]:
+        return False
+    va = np.asarray(rings_a[0], dtype=np.float64)
+    vb = np.asarray(rings_b[0], dtype=np.float64)
+    if points_in_polygon(va[:, 0], va[:, 1], rings_b).any():
+        return True
+    if points_in_polygon(vb[:, 0], vb[:, 1], rings_a).any():
+        return True
+    for ra in rings_a:
+        a = np.asarray(ra, dtype=np.float64)
+        if not np.array_equal(a[0], a[-1]):
+            a = np.vstack([a, a[:1]])
+        for rb in rings_b:
+            b = np.asarray(rb, dtype=np.float64)
+            if not np.array_equal(b[0], b[-1]):
+                b = np.vstack([b, b[:1]])
+            if _segments_cross(a, b):
+                return True
+    return False
+
+
 def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     """Great-circle distance in meters (vectorized)."""
     R = 6371008.8

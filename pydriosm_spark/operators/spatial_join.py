@@ -163,3 +163,86 @@ def spatial_join_points_polygons(
     return joined.filter(pip(F.col("feature_id"), F.col(lon), F.col(lat), F.col("full"))).drop(
         "full"
     )
+
+
+def spatial_join_polygons_polygons(
+    spark: SparkSession,
+    left: Sequence[dict],
+    right: Sequence[dict],
+    res: int = 15,
+) -> DataFrame:
+    """Polygon-polygon overlap join: (left_id, right_id) for every pair
+    whose interiors/boundaries intersect.
+
+    Plan: compact covers on BOTH sides -> equi-join on the cell (right
+    cover exploded to the left cover's resolutions via parent cells) ->
+    distinct candidate pairs -> exact polygon-intersection refine
+    (vectorized orientation tests) in an Arrow kernel.  Pairs whose
+    joined cell is *full* on either side are definite overlaps and skip
+    the geometric refine — the same filter-refine economics as the
+    point join.  Both sides here are driver-sized; at scale the identical
+    shape runs as a shuffle join on the cover cell.
+    """
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    lc = build_cover(left, res)
+    rc = build_cover(right, res)
+    lres = sorted({int(quadcell.cell_res(c)) for _, c, _ in lc})
+    rres = sorted({int(quadcell.cell_res(c)) for _, c, _ in rc})
+
+    # Two cover cells overlap iff one is ancestor-of-or-equal the other
+    # (covers are quadtree-disjoint per polygon).  Project each side's
+    # cells additionally onto the OTHER side's coarser resolutions; the
+    # original full flag travels with the projection: if the fine cell c
+    # is fully inside its polygon and the joined coarse cell A (c ⊆ A)
+    # is fully inside the other polygon, then c witnesses an overlap.
+    def project(rows, other_res):
+        out = []
+        for fid, cell, full in rows:
+            r = int(quadcell.cell_res(cell))
+            out.append((fid, int(cell), bool(full), True))
+            for orr in other_res:
+                if orr < r:
+                    out.append((fid, int(quadcell.parent(cell, orr)), bool(full), False))
+        return out
+
+    ldf = spark.createDataFrame(
+        project(lc, rres), "left_id int, cell long, lfull boolean, lorig boolean"
+    )
+    rdf = spark.createDataFrame(
+        project(rc, lres), "right_id int, cell long, rfull boolean, rorig boolean"
+    )
+
+    # definite overlap needs the witness-cell argument: both flags full
+    # AND at least one entry at its original resolution (otherwise the
+    # two projected fine cells may be disjoint corners of the ancestor)
+    cand = (
+        ldf.join(rdf, "cell")
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.max(
+                F.col("lfull") & F.col("rfull") & (F.col("lorig") | F.col("rorig"))
+            ).alias("definite")
+        )
+    )
+
+    lmap = {int(p["feature_id"]): [np.asarray(r, np.float64) for r in p["rings"]] for p in left}
+    rmap = {int(p["feature_id"]): [np.asarray(r, np.float64) for r in p["rings"]] for p in right}
+    bc = spark.sparkContext.broadcast((lmap, rmap))
+
+    from pydriosm_spark.geometry.ops import polygons_intersect
+
+    @F.pandas_udf(BooleanType())
+    def overlap(lid: pd.Series, rid: pd.Series, definite: pd.Series) -> pd.Series:
+        lm, rm = bc.value
+        out = definite.to_numpy(dtype=bool).copy()
+        todo = ~out
+        lids, rids = lid.to_numpy(), rid.to_numpy()
+        for i in np.nonzero(todo)[0]:
+            out[i] = polygons_intersect(lm[int(lids[i])], rm[int(rids[i])])
+        return pd.Series(out)
+
+    return cand.filter(overlap(F.col("left_id"), F.col("right_id"), F.col("definite"))).select(
+        "left_id", "right_id"
+    )

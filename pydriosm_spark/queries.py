@@ -80,6 +80,21 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("rx", "ry", F.col("n").cast("long").alias("n"))
 
 
+def q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon overlap join: L-shaped zones x bbox grid cells.
+    ``sf_dir`` is unused (pure geometry; both sides synthesized) but kept
+    for the uniform query signature."""
+    from pydriosm_spark.operators.spatial_join import spatial_join_polygons_polygons
+
+    j = spatial_join_polygons_polygons(
+        spark, synth.zone_features(), synth.grid_features(), res=15
+    )
+    return j.select(
+        F.col("left_id").cast("long").alias("zone_id"),
+        F.col("right_id").cast("long").alias("grid_id"),
+    )
+
+
 def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _mentions(spark, sf_dir)
     r = tiling.rasterize(m, RASTER_CELL)
@@ -187,6 +202,35 @@ QUALIFY rank <= 3"""
     )
 
 
+def oracle_polygon_overlap() -> str:
+    """Exact integer oracle: grid rect [gx0, gx0+C) x [gy0, gy0+C)
+    overlaps the L-shape (full rect minus its upper-right quadrant) iff
+    it overlaps the full rect and the clipped intersection rectangle is
+    not entirely inside the removed quadrant.  Closed-boundary semantics
+    (touching counts) to match the geometric kernel."""
+    z = synth
+    C = z.GRID_CELL
+    return f"""
+WITH zones AS (
+  SELECT CAST(q.z AS BIGINT) AS zone_id,
+         {z.ZONE_OX} + (q.z % {z.ZONE_NX}) * {z.ZONE_DX} AS u0,
+         {z.ZONE_OY} + (q.z // {z.ZONE_NX}) * {z.ZONE_DY} AS v0
+  FROM (SELECT unnest(range(0, {z.ZONE_NX * z.ZONE_NY})) AS z) q
+),
+grid AS (
+  SELECT CAST(gy.y * {z.GRID_NX} + gx.x AS BIGINT) AS grid_id,
+         gx.x * {C} AS gu0, gy.y * {C} AS gv0
+  FROM (SELECT unnest(range(0, {z.GRID_NX})) AS x) gx
+  CROSS JOIN (SELECT unnest(range(0, {z.GRID_NY})) AS y) gy
+)
+SELECT zone_id, grid_id
+FROM zones JOIN grid
+  ON gu0 < u0 + {z.ZONE_W} AND gu0 + {C} > u0
+ AND gv0 < v0 + {z.ZONE_H} AND gv0 + {C} > v0
+ AND NOT (greatest(gu0, u0) >= u0 + {z.ZONE_W - z.ZONE_QW}
+          AND greatest(gv0, v0) >= v0 + {z.ZONE_H - z.ZONE_QH})"""
+
+
 def oracle_rasterize() -> str:
     return (
         _o_mentions_prefix()
@@ -221,6 +265,7 @@ def registry() -> dict:
         "tile_assign": (q_tiles, oracle_tiles()),
         "spatial_join_zones": (q_zone_join, oracle_zone_join()),
         "spatial_join_grid": (q_grid_join, oracle_grid_join()),
+        "spatial_join_polygons": (q_polygon_overlap, oracle_polygon_overlap()),
         "knn_ring": (q_knn, oracle_knn()),
         "rasterize": (q_rasterize, oracle_rasterize()),
         "vectorize": (q_vectorize, oracle_vectorize()),
