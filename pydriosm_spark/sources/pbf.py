@@ -302,6 +302,186 @@ def node_to_point_feature(nid: int, lat: float, lon: float, tags: dict) -> dict 
 #: schema, transformer.py:296-309 family)
 RELATION_ATTRS = ["name", "type"]
 
+#: osmconf default closed_ways_are_polygons key set (GDAL OSM driver)
+POLYGON_KEYS = {
+    "aeroway", "amenity", "boundary", "building", "craft", "geological",
+    "historic", "landuse", "leisure", "military", "natural", "office",
+    "place", "shop", "sport", "tourism",
+}
+LINE_ATTRS = ["name", "highway", "waterway", "aerialway", "barrier", "man_made", "railway"]
+MPOLY_ATTRS = ["name", "type", "aeroway", "amenity", "admin_level", "barrier", "boundary",
+               "building", "craft", "geological", "historic", "land_area", "landuse",
+               "leisure", "man_made", "military", "natural", "office", "place", "shop",
+               "sport", "tourism"]
+MLS_ATTRS = ["name", "type"]
+
+
+def _props(id_key: str, id_val: int, tags: dict, attrs: list) -> dict:
+    rest = {k: v for k, v in tags.items() if k not in OTHER_TAGS_IGNORE}
+    props = {id_key: str(id_val)}
+    for a in attrs:
+        props[a] = rest.pop(a, None)
+    props["other_tags"] = (
+        ",".join(f'"{_hstore_escape(k)}"=>"{_hstore_escape(v)}"' for k, v in rest.items())
+        or None
+    )
+    return props
+
+
+def way_is_polygon(refs: list, tags: dict) -> bool:
+    """GDAL closed-ways-are-polygons rule: closed ring + (area=yes or a
+    polygon-indicative key) and not area=no."""
+    if len(refs) < 4 or refs[0] != refs[-1]:
+        return False
+    if tags.get("area") == "no":
+        return False
+    return tags.get("area") == "yes" or bool(POLYGON_KEYS & set(tags))
+
+
+def assemble_lines(nodes, ways):
+    """'lines' layer: significant non-polygon ways -> LineString features."""
+    node_pos = {n[0]: (n[2], n[1]) for n in nodes}
+    out = []
+    for wid, refs, tags in ways:
+        if not any(k not in SIG_IGNORE for k in tags):
+            continue
+        if way_is_polygon(refs, tags):
+            continue
+        coords = [list(node_pos[r]) for r in refs if r in node_pos]
+        if len(coords) < 2:
+            continue
+        out.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "LineString", "coordinates": coords},
+                "properties": _props("osm_id", wid, tags, LINE_ATTRS),
+                "id": wid,
+            }
+        )
+    out.sort(key=lambda f: f["id"])
+    return out
+
+
+def assemble_multilinestrings(nodes, ways, rels):
+    """'multilinestrings' layer: route/multilinestring relations ->
+    MultiLineString over resolvable member ways."""
+    node_pos = {n[0]: (n[2], n[1]) for n in nodes}
+    way_refs = {w[0]: w[1] for w in ways}
+    out = []
+    for rid, members, tags in rels:
+        if tags.get("type") not in ("route", "multilinestring"):
+            continue
+        lines = []
+        for kind, mid, _role in members:
+            if kind == "way" and mid in way_refs:
+                coords = [list(node_pos[r]) for r in way_refs[mid] if r in node_pos]
+                if len(coords) >= 2:
+                    lines.append(coords)
+        if not lines:
+            continue
+        out.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "MultiLineString", "coordinates": lines},
+                "properties": _props("osm_id", rid, tags, MLS_ATTRS),
+                "id": rid,
+            }
+        )
+    out.sort(key=lambda f: f["id"])
+    return out
+
+
+def _stitch_rings(segments: list) -> list:
+    """Join way segments end-to-end into closed rings (OSM multipolygon
+    assembly).  Unclosable leftovers are dropped."""
+    segs = [list(s) for s in segments if len(s) >= 2]
+    rings = []
+    while segs:
+        cur = segs.pop()
+        progress = True
+        while cur[0] != cur[-1] and progress:
+            progress = False
+            for i, s in enumerate(segs):
+                if s[0] == cur[-1]:
+                    cur += s[1:]
+                elif s[-1] == cur[-1]:
+                    cur += s[-2::-1]
+                elif s[-1] == cur[0]:
+                    cur = s[:-1] + cur
+                elif s[0] == cur[0]:
+                    cur = s[::-1][:-1] + cur
+                else:
+                    continue
+                segs.pop(i)
+                progress = True
+                break
+        if len(cur) >= 4 and cur[0] == cur[-1]:
+            rings.append(cur)
+    return rings
+
+
+def assemble_multipolygons(nodes, ways, rels):
+    """'multipolygons' layer: (a) multipolygon/boundary relations with
+    outer/inner ring stitching; (b) standalone closed polygon ways
+    (emitted with osm_way_id, GDAL convention)."""
+    from pydriosm_spark.geometry.ops import points_in_polygon
+    import numpy as np
+
+    node_pos = {n[0]: (n[2], n[1]) for n in nodes}
+    way_refs = {w[0]: w[1] for w in ways}
+
+    def coords_of(wid):
+        return [tuple(node_pos[r]) for r in way_refs[wid] if r in node_pos]
+
+    out = []
+    for rid, members, tags in rels:
+        if tags.get("type") not in ("multipolygon", "boundary"):
+            continue
+        outer_segs, inner_segs = [], []
+        for kind, mid, role in members:
+            if kind != "way" or mid not in way_refs:
+                continue
+            (inner_segs if role == "inner" else outer_segs).append(coords_of(mid))
+        outers = _stitch_rings(outer_segs)
+        inners = _stitch_rings(inner_segs)
+        if not outers:
+            continue
+        polys = []
+        for o in outers:
+            oarr = np.array(o, dtype=np.float64)
+            rings = [[list(p) for p in o]]
+            for i in inners:
+                px, py = i[0]
+                if points_in_polygon(np.array([px]), np.array([py]), [oarr])[0]:
+                    rings.append([list(p) for p in i])
+            polys.append(rings)
+        out.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "MultiPolygon", "coordinates": polys},
+                "properties": _props("osm_id", rid, tags, MPOLY_ATTRS),
+                "id": rid,
+            }
+        )
+    for wid, refs, tags in ways:
+        if not way_is_polygon(refs, tags):
+            continue
+        if not any(k not in SIG_IGNORE for k in tags):
+            continue
+        coords = [list(node_pos[r]) for r in refs if r in node_pos]
+        if len(coords) < 4:
+            continue
+        out.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "MultiPolygon", "coordinates": [[coords]]},
+                "properties": _props("osm_way_id", wid, tags, MPOLY_ATTRS),
+                "id": wid,
+            }
+        )
+    out.sort(key=lambda f: (f["id"], "osm_way_id" in f["properties"]))
+    return out
+
 
 def assemble_other_relations(nodes, ways, rels):
     """GDAL 'other_relations' layer (empirically validated against the
@@ -365,6 +545,56 @@ def read_pbf_nodes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path).select("path", "content").mapInPandas(
         decode, schema
     )
+
+
+LAYER_ASSEMBLERS = {
+    "points": lambda n, w, r: [
+        f for f in (node_to_point_feature(*nd) for nd in n) if f is not None
+    ],
+    "lines": lambda n, w, r: assemble_lines(n, w),
+    "multilinestrings": assemble_multilinestrings,
+    "multipolygons": assemble_multipolygons,
+    "other_relations": assemble_other_relations,
+}
+
+
+def read_pbf(spark: SparkSession, path: str, layer_names=None) -> dict:
+    """The reference's 5-layer read_pbf surface (parser.py:1747-1955) as
+    {layer_name: DataFrame(id, geometry json, properties map)}."""
+    import json
+
+    names = layer_names or list(LAYER_ASSEMBLERS)
+    schema = "id long, geometry string, properties map<string,string>, src_file string"
+    out = {}
+    for name in names:
+        assembler = LAYER_ASSEMBLERS[name]
+
+        def decode(batches: Iterator[pd.DataFrame], assembler=assembler) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                for fpath, content in zip(b["path"], b["content"]):
+                    n, w, r = parse_pbf(bytes(content))
+                    feats = assembler(n, w, r)
+                    feats = sorted(feats, key=lambda f: f["id"])
+                    yield pd.DataFrame(
+                        [
+                            (
+                                f["id"],
+                                json.dumps(f["geometry"], separators=(",", ":")),
+                                f["properties"],
+                                fpath,
+                            )
+                            for f in feats
+                        ],
+                        columns=["id", "geometry", "properties", "src_file"],
+                    )
+
+        out[name] = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path", "content")
+            .mapInPandas(decode, schema)
+        )
+    return out
 
 
 def read_pbf_points_layer(spark: SparkSession, path: str) -> DataFrame:

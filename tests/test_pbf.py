@@ -63,3 +63,36 @@ def test_spark_points_layer_surface(spark):
     # determinism: reference sorts by id (parser.py:1589-1591)
     ids = [r["id"] for r in df.limit(5).collect()]
     assert ids == sorted(ids)
+
+@needs_fixture
+def test_remaining_layers_structural(parsed):
+    """lines / multilinestrings / multipolygons: no golden fixtures ship
+    for these, so the checks are structural + pinned regression counts
+    (self-generated on first run, guarding future refactors)."""
+    nodes, ways, rels = parsed
+    lines = pbf.assemble_lines(nodes, ways)
+    mls = pbf.assemble_multilinestrings(nodes, ways, rels)
+    mpoly = pbf.assemble_multipolygons(nodes, ways, rels)
+    assert (len(lines), len(mls), len(mpoly)) == (9118, 56, 7560)
+    # polygon-classified ways never appear in lines
+    wayp = {f["id"] for f in mpoly if "osm_way_id" in f["properties"]}
+    assert not wayp & {f["id"] for f in lines}
+    # all multipolygon rings closed, >= 4 points
+    for f in mpoly[:200]:
+        for poly in f["geometry"]["coordinates"]:
+            for ring in poly:
+                assert len(ring) >= 4 and ring[0] == ring[-1]
+    # every geometry renders to parseable WKT
+    from pydriosm_spark.functions.transforms import geojson_to_wkt
+    from pydriosm_spark.geometry.wkt import parse_wkt
+
+    for f in lines[:50] + mls[:20] + mpoly[:50]:
+        parse_wkt(geojson_to_wkt(f["geometry"]))
+
+
+@needs_fixture
+def test_read_pbf_five_layer_surface(spark):
+    dfs = pbf.read_pbf(spark, PBF_PATH, layer_names=["points", "multilinestrings"])
+    assert set(dfs) == {"points", "multilinestrings"}
+    assert dfs["points"].count() == 5126
+    assert dfs["multilinestrings"].count() == 56
