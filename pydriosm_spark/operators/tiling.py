@@ -85,6 +85,30 @@ def cell_wkt_sql(rx: str, ry: str, cell_size: int, dialect: str) -> str:
     )
 
 
+def raster_focal_sum(raster: DataFrame, radius: int = 1) -> DataFrame:
+    """Focal (moving-window) sum over the raster: for each cell, the sum
+    of ``n`` over its (2r+1)^2 Chebyshev neighborhood.  Implemented as a
+    scatter self-join: each cell contributes to its neighbors via an
+    exploded offset array + hash aggregation — one shuffle bounded by
+    |cells| x (2r+1)^2, independent of point count (the raster is already
+    the reduced form).  Classic raster algebra on the cell index."""
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ]
+    )
+    scattered = raster.withColumn("__o", F.explode(offs)).select(
+        (F.col("rx") + F.col("__o.dx")).alias("rx"),
+        (F.col("ry") + F.col("__o.dy")).alias("ry"),
+        F.col("n"),
+    )
+    focal = scattered.groupBy("rx", "ry").agg(F.sum("n").alias("focal_sum"))
+    # restrict to populated cells (inner join keeps the raster's domain)
+    return raster.join(focal, ["rx", "ry"], "inner").select("rx", "ry", "n", "focal_sum")
+
+
 def vectorize(raster: DataFrame, cell_size: int, min_count: int = 1) -> DataFrame:
     """Raster cells with n >= min_count -> (rx, ry, n, geometry_wkt)."""
     return raster.filter(F.col("n") >= min_count).withColumn(

@@ -102,6 +102,15 @@ def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("rx", "ry", F.col("n").cast("long").alias("n"), "geometry_wkt")
 
 
+def q_raster_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    r = tiling.rasterize(m, RASTER_CELL)
+    f = tiling.raster_focal_sum(r, radius=1)
+    return f.select(
+        "rx", "ry", F.col("n").cast("long").alias("n"), F.col("focal_sum").cast("long").alias("focal_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -240,6 +249,23 @@ FROM mentions GROUP BY 1, 2"""
     )
 
 
+def oracle_raster_focal() -> str:
+    return (
+        _o_mentions_prefix()
+        + f""",
+raster AS (
+  SELECT u // {RASTER_CELL} AS rx, v // {RASTER_CELL} AS ry, COUNT(*) AS n
+  FROM mentions GROUP BY 1, 2
+)
+SELECT a.rx, a.ry, a.n, SUM(b.n) AS focal_sum
+FROM raster a
+JOIN raster b
+  ON b.rx BETWEEN a.rx - 1 AND a.rx + 1
+ AND b.ry BETWEEN a.ry - 1 AND a.ry + 1
+GROUP BY a.rx, a.ry, a.n"""
+    )
+
+
 def oracle_vectorize() -> str:
     wkt = tiling.cell_wkt_sql("rx", "ry", RASTER_CELL, "duckdb")
     return (
@@ -269,6 +295,7 @@ def registry() -> dict:
         "knn_ring": (q_knn, oracle_knn()),
         "rasterize": (q_rasterize, oracle_rasterize()),
         "vectorize": (q_vectorize, oracle_vectorize()),
+        "raster_focal": (q_raster_focal, oracle_raster_focal()),
     }
     from pydriosm_spark import queries_layers
 

@@ -130,12 +130,19 @@ shingles AS (
 
 def oracle_minhash_pairs() -> str:
     B = dedup.BANDS
+    h = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    per_band = ", ".join(
+        f"min({dedup._band_hash_sql(h, b)}) AS mh{b}" for b in range(B)
+    )
+    unpivot = ", ".join(f"struct_pack(band := {b}, minhash := mh{b})" for b in range(B))
     return f"""
 WITH {_duck_shingles_cte().strip()},
+wide AS (
+  SELECT doc_id, {per_band} FROM shingles GROUP BY doc_id
+),
 sig AS (
-  SELECT doc_id, b.band, min(md5(b.band::VARCHAR || ':' || s)) AS minhash
-  FROM shingles CROSS JOIN (SELECT unnest(range(0, {B})) AS band) b
-  GROUP BY doc_id, b.band
+  SELECT doc_id, u.s.band AS band, u.s.minhash AS minhash
+  FROM wide, unnest([{unpivot}]) u(s)
 ),
 capped AS (
   SELECT *, count(*) OVER (PARTITION BY band, minhash) AS bn FROM sig
