@@ -110,6 +110,19 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping-sets box): per
+    (returnflag, linestatus), per returnflag, and grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_c"),
+        )
+    )
+
+
 def q_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct box + string functions: distinct brand/type prefix."""
     p = _t(spark, sf_dir, "part")
@@ -178,6 +191,14 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def oracle_rollup() -> str:
+    return """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 def oracle_part_distinct() -> str:
     return """
 SELECT DISTINCT p_brand, string_split(p_type, ' ')[1] AS type_head FROM part"""
@@ -191,4 +212,5 @@ def registry() -> dict:
         "rel_semi_anti": (q_unshipped_customers, oracle_unshipped_customers()),
         "rel_event_windows": (q_event_windows, oracle_event_windows()),
         "rel_distinct": (q_part_distinct, oracle_part_distinct()),
+        "rel_rollup": (q_rollup, oracle_rollup()),
     }
