@@ -73,3 +73,70 @@ def test_streaming_matches_batch(spark, tmp_path):
     got = _canon(spark.sql("select * from stream_windows_t"))
     want = _canon(windowed_event_counts(spark.read.parquet(events)))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+def test_streaming_extraction_pipeline_matches_batch(spark, tmp_path):
+    """The extraction->tile pipeline over a webpages STREAM equals the
+    batch run on the same data (stateless transform equivalence)."""
+    from pydriosm_spark.sources import synth
+    from pydriosm_spark.streaming.pipeline import extract_and_tile
+
+    web_dir = tmp_path / "webpages"
+    synth.webpages(spark, SF_SMOKE).drop("warc_ts").write.mode("overwrite").parquet(str(web_dir))
+
+    batch = spark.read.parquet(str(web_dir))
+    want = _canon(extract_and_tile(batch))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(web_dir))
+    )
+    q = (
+        extract_and_tile(stream)
+        .writeStream.format("memory")
+        .queryName("tiles_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _canon(spark.sql("select * from tiles_stream_t"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_salting_balances_hot_key_groups(spark):
+    """Direct shuffle-balance evidence: a pathological hot cell (90% of
+    rows on one key) ends up spread across salted sub-keys whose max
+    group size respects the target, while the unsalted key distribution
+    has one giant group."""
+    from pyspark.sql import functions as F
+
+    from pydriosm_spark.operators.skew import hot_cell_salts, salted_join
+
+    n = 100_000
+    probe = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(777)).otherwise(F.col("id") % 50).alias("cell"),
+    )
+    build = probe.select("cell").distinct().withColumn("feature", F.col("cell") * 2)
+
+    target = 5_000
+    salts = hot_cell_salts(probe, "cell", target_rows_per_task=target)
+    n_salt_777 = salts.filter("cell = 777").first()["n_salt"]
+    assert n_salt_777 >= 18  # ~90k rows / 5k target
+
+    # unsalted: one group holds ~90% of rows
+    unsalted_max = probe.groupBy("cell").count().agg(F.max("count")).first()[0]
+    assert unsalted_max >= 0.89 * n
+
+    # salted join key distribution: no group above target (+ rounding)
+    p = probe.join(F.broadcast(salts), "cell", "left").withColumn(
+        "__n", F.coalesce(F.col("n_salt"), F.lit(1))
+    ).withColumn("__salt", F.pmod(F.col("doc_id"), F.col("__n")))
+    salted_max = p.groupBy("cell", "__salt").count().agg(F.max("count")).first()[0]
+    assert salted_max <= target * 1.2, salted_max
+
+    # and the salted join still returns exactly one match per probe row
+    out = salted_join(probe, build, "cell", "doc_id", salts)
+    assert out.count() == n
