@@ -140,6 +140,58 @@ def minhash_lsh_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph —
+    label-propagation to the minimum reachable id (the canonical
+    representative), iterated to fixpoint.
+
+    Each iteration: every vertex takes min(own label, neighbors' labels)
+    via one edge join + hash aggregation; lineage truncated per round
+    with localCheckpoint.  Converges in O(graph diameter) rounds —
+    near-dup clusters are shallow, so typically 3-5.  This is the
+    cluster step of web-scale dedup (keep one doc per component).
+
+    Returns (doc_id, component) for every vertex in the pair graph.
+    """
+    spark = pairs.sparkSession
+    F_ = F
+    edges = (
+        pairs.select(F_.col(id_a).alias("a"), F_.col(id_b).alias("b"))
+        .unionByName(pairs.select(F_.col(id_b).alias("a"), F_.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F_.col("a").alias("doc_id")).distinct().withColumn(
+        "component", F_.col("doc_id")
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F_.col("a").alias("doc_id"))
+            .agg(F_.min("component").alias("__nbmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F_.least(
+                    F_.col("component"), F_.coalesce(F_.col("__nbmin"), F_.col("component"))
+                ).alias("component"),
+                (F_.col("__nbmin") < F_.col("component")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F_.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_fragments(text: str, dialect: str) -> tuple[str, str]:
     """(hash_array_sql, signature_sql) for a 60-bit SimHash of ``text``.
 

@@ -72,6 +72,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
+    (doc_id, component) with component = min doc_id reachable."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_e6_min=JACCARD_E6_MIN)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(spark, _emb(spark, sf_dir), k=TOPK)
 
@@ -128,15 +139,16 @@ shingles AS (
 )"""
 
 
-def oracle_minhash_pairs() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The CTE chain shared by the pairs oracle and the components
+    oracle; ends with the CTE list (no final SELECT)."""
     B = dedup.BANDS
     h = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
     per_band = ", ".join(
         f"min({dedup._band_hash_sql(h, b)}) AS mh{b}" for b in range(B)
     )
     unpivot = ", ".join(f"struct_pack(band := {b}, minhash := mh{b})" for b in range(B))
-    return f"""
-WITH {_duck_shingles_cte().strip()},
+    return f"""{_duck_shingles_cte().strip()},
 wide AS (
   SELECT doc_id, {per_band} FROM shingles GROUP BY doc_id
 ),
@@ -159,13 +171,40 @@ inter AS (
   JOIN shingles sa ON sa.doc_id = p.id_a
   JOIN shingles sb ON sb.doc_id = p.id_b AND sb.s = sa.s
   GROUP BY p.id_a, p.id_b
+),
+pairq AS (
+  SELECT i.id_a, i.id_b, i.inter, na.n_sh + nb.n_sh - i.inter AS "union",
+         (i.inter * 1000000) // (na.n_sh + nb.n_sh - i.inter) AS jaccard_e6
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE (i.inter * 1000000) // (na.n_sh + nb.n_sh - i.inter) >= {JACCARD_E6_MIN}
+)"""
+
+
+def oracle_minhash_pairs() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT id_a, id_b, inter, "union", jaccard_e6 FROM pairq"""
+
+
+def oracle_dedup_components() -> str:
+    """Recursive-CTE ground truth: min reachable id over the undirected
+    pair graph."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairq
+  UNION
+  SELECT id_b, id_a FROM pairq
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
 )
-SELECT i.id_a, i.id_b, i.inter, na.n_sh + nb.n_sh - i.inter AS "union",
-       (i.inter * 1000000) // (na.n_sh + nb.n_sh - i.inter) AS jaccard_e6
-FROM inter i
-JOIN sizes na ON na.doc_id = i.id_a
-JOIN sizes nb ON nb.doc_id = i.id_b
-WHERE (i.inter * 1000000) // (na.n_sh + nb.n_sh - i.inter) >= {JACCARD_E6_MIN}"""
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+FROM reach GROUP BY src"""
 
 
 def oracle_simhash() -> str:
@@ -198,6 +237,7 @@ def registry() -> dict:
         "fingerprint": (q_fingerprint, oracle_fingerprint()),
         "dedup_exact": (q_dedup_exact, oracle_dedup_exact()),
         "dedup_minhash_lsh": (q_minhash_pairs, oracle_minhash_pairs()),
+        "dedup_components": (q_dedup_components, oracle_dedup_components()),
         "simhash": (q_simhash, oracle_simhash()),
         "cosine_topk": (q_cosine_topk, oracle_cosine_topk()),
         "ann_lsh": (q_ann_lsh, None),
