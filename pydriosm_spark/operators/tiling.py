@@ -109,6 +109,42 @@ def raster_focal_sum(raster: DataFrame, radius: int = 1) -> DataFrame:
     return raster.join(focal, ["rx", "ry"], "inner").select("rx", "ry", "n", "focal_sum")
 
 
+def vectorize_runs(raster: DataFrame, cell_size: int, min_count: int = 1) -> DataFrame:
+    """True vectorization: merge horizontally adjacent above-threshold
+    cells into maximal row runs and emit one rectangle polygon per run —
+    the gaps-and-islands pattern (``rx - row_number()`` run key) over the
+    raster.  Returns (ry, rx_min, rx_max, n_cells, sum_n, geometry_wkt).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ry").orderBy("rx")
+    runs = (
+        raster.filter(F.col("n") >= min_count)
+        .withColumn("__grp", F.col("rx") - F.row_number().over(w))
+        .groupBy("ry", "__grp")
+        .agg(
+            F.min("rx").alias("rx_min"),
+            F.max("rx").alias("rx_max"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("sum_n"),
+        )
+        .drop("__grp")
+    )
+    # widen the unit-cell template: x1 spans (rx_max - rx_min + 1) cells
+    x0 = f"({synth.LON0_E5} + (rx_min) * {cell_size})"
+    y0 = f"({synth.LAT0_E5} + (ry) * {cell_size})"
+    x1 = f"({synth.LON0_E5} + (rx_max + 1) * {cell_size})"
+    y1 = f"({y0} + {cell_size})"
+    sx0, sy0 = _e5_str_expr(x0, "spark"), _e5_str_expr(y0, "spark")
+    sx1, sy1 = _e5_str_expr(x1, "spark"), _e5_str_expr(y1, "spark")
+    rect = (
+        f"('POLYGON ((' || {sx0} || ' ' || {sy0} || ', ' || {sx1} || ' ' || {sy0} || ', ' "
+        f"|| {sx1} || ' ' || {sy1} || ', ' || {sx0} || ' ' || {sy1} || ', ' "
+        f"|| {sx0} || ' ' || {sy0} || '))')"
+    )
+    return runs.withColumn("geometry_wkt", F.expr(rect))
+
+
 def vectorize(raster: DataFrame, cell_size: int, min_count: int = 1) -> DataFrame:
     """Raster cells with n >= min_count -> (rx, ry, n, geometry_wkt)."""
     return raster.filter(F.col("n") >= min_count).withColumn(

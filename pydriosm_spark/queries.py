@@ -102,6 +102,20 @@ def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("rx", "ry", F.col("n").cast("long").alias("n"), "geometry_wkt")
 
 
+def q_vectorize_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    r = tiling.rasterize(m, RASTER_CELL)
+    v = tiling.vectorize_runs(r, RASTER_CELL, min_count=4)
+    return v.select(
+        "ry",
+        "rx_min",
+        "rx_max",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("sum_n").cast("long").alias("sum_n"),
+        "geometry_wkt",
+    )
+
+
 def q_raster_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _mentions(spark, sf_dir)
     r = tiling.rasterize(m, RASTER_CELL)
@@ -249,6 +263,40 @@ FROM mentions GROUP BY 1, 2"""
     )
 
 
+def oracle_vectorize_runs() -> str:
+    C = RASTER_CELL
+    x0 = f"({synth.LON0_E5} + rx_min * {C})"
+    y0 = f"({synth.LAT0_E5} + ry * {C})"
+    x1 = f"({synth.LON0_E5} + (rx_max + 1) * {C})"
+    y1 = f"({y0} + {C})"
+    e5 = tiling._e5_str_expr
+    sx0, sy0 = e5(x0, "duckdb"), e5(y0, "duckdb")
+    sx1, sy1 = e5(x1, "duckdb"), e5(y1, "duckdb")
+    rect = (
+        f"('POLYGON ((' || {sx0} || ' ' || {sy0} || ', ' || {sx1} || ' ' || {sy0} || ', ' "
+        f"|| {sx1} || ' ' || {sy1} || ', ' || {sx0} || ' ' || {sy1} || ', ' "
+        f"|| {sx0} || ' ' || {sy0} || '))')"
+    )
+    return (
+        _o_mentions_prefix()
+        + f""",
+raster AS (
+  SELECT u // {C} AS rx, v // {C} AS ry, COUNT(*) AS n
+  FROM mentions GROUP BY 1, 2
+),
+runs AS (
+  SELECT ry, rx, n, rx - row_number() OVER (PARTITION BY ry ORDER BY rx) AS grp
+  FROM raster WHERE n >= 4
+),
+merged AS (
+  SELECT ry, min(rx) AS rx_min, max(rx) AS rx_max,
+         CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS sum_n
+  FROM runs GROUP BY ry, grp
+)
+SELECT ry, rx_min, rx_max, n_cells, sum_n, {rect} AS geometry_wkt FROM merged"""
+    )
+
+
 def oracle_raster_focal() -> str:
     return (
         _o_mentions_prefix()
@@ -296,6 +344,7 @@ def registry() -> dict:
         "rasterize": (q_rasterize, oracle_rasterize()),
         "vectorize": (q_vectorize, oracle_vectorize()),
         "raster_focal": (q_raster_focal, oracle_raster_focal()),
+        "vectorize_runs": (q_vectorize_runs, oracle_vectorize_runs()),
     }
     from pydriosm_spark import queries_layers
 

@@ -204,6 +204,44 @@ def oracle_part_distinct() -> str:
 SELECT DISTINCT p_brand, string_split(p_type, ' ')[1] AS type_head FROM part"""
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (batch form; the
+    streaming form with applyInPandasWithState is equivalence-tested in
+    tests/test_sessions_and_misc.py)."""
+    from pydriosm_spark.streaming.sessions import sessionize_batch
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize_batch(e).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value_c",
+    )
+
+
+def oracle_sessions() -> str:
+    return """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+FROM s GROUP BY user_id, sid"""
+
+
 def registry() -> dict:
     return {
         "rel_pricing_summary": (q_pricing_summary, oracle_pricing_summary()),
@@ -213,4 +251,5 @@ def registry() -> dict:
         "rel_event_windows": (q_event_windows, oracle_event_windows()),
         "rel_distinct": (q_part_distinct, oracle_part_distinct()),
         "rel_rollup": (q_rollup, oracle_rollup()),
+        "rel_sessions": (q_sessions, oracle_sessions()),
     }
