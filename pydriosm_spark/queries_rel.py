@@ -242,6 +242,44 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
 FROM s GROUP BY user_id, sid"""
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every non-signup event matched to the user's latest
+    prior-or-simultaneous signup event (union-merge plan — one shuffle,
+    no range join)."""
+    from pydriosm_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    lefts = e.filter(F.col("event_type") != "signup").select("event_id", "user_id", "ts")
+    rights = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))  # dedup equal-ts rights
+    )
+    j = asof_join(lefts, rights, key="user_id", right_payload=["signup_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("signup_ts"),
+        F.col("asof_signup_id").cast("long").alias("signup_id"),
+    )
+
+
+def oracle_asof() -> str:
+    """Independent implementation: DuckDB's native ASOF JOIN."""
+    return """
+WITH rights AS (
+  SELECT user_id, ts, max(event_id) AS signup_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+),
+lefts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup'
+)
+SELECT l.event_id, l.user_id, l.ts, r.ts AS signup_ts, r.signup_id
+FROM lefts l
+ASOF LEFT JOIN rights r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 def registry() -> dict:
     return {
         "rel_pricing_summary": (q_pricing_summary, oracle_pricing_summary()),
@@ -252,4 +290,5 @@ def registry() -> dict:
         "rel_distinct": (q_part_distinct, oracle_part_distinct()),
         "rel_rollup": (q_rollup, oracle_rollup()),
         "rel_sessions": (q_sessions, oracle_sessions()),
+        "rel_asof_join": (q_asof, oracle_asof()),
     }

@@ -33,6 +33,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")  # unify ns/us units
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
