@@ -112,10 +112,20 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # small; consumed twice (candidate-id filter + verify join) —
+        # materialize so the LSH chain runs once
+        .localCheckpoint(eager=True)
     )
 
-    sh = _shingles(df, text).select(
-        F.col(key), F.explode("shingles").alias("s")
+    # verify only touches docs that appear in a candidate pair: semi-join
+    # the shingle explode down to that (small) id set before intersecting
+    cand_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias(key)).distinct()
+    )
+    sh = (
+        _shingles(df, text)
+        .join(F.broadcast(cand_ids), key, "left_semi")
+        .select(F.col(key), F.explode("shingles").alias("s"))
     )
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
 
