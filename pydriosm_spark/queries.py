@@ -116,6 +116,22 @@ def q_vectorize_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_CELL = 1500
+CLUSTER_MIN_PTS = 4
+
+
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density clustering of mentions (dense raster cells +
+    8-connectivity components; noise drops)."""
+    from pydriosm_spark.operators.cluster import grid_cluster
+
+    m = _mentions(spark, sf_dir)
+    c = grid_cluster(m, CLUSTER_CELL, CLUSTER_MIN_PTS)
+    return c.select(
+        "doc_id", "mention_idx", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
 def q_raster_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _mentions(spark, sf_dir)
     r = tiling.rasterize(m, RASTER_CELL)
@@ -297,6 +313,41 @@ SELECT ry, rx_min, rx_max, n_cells, sum_n, {rect} AS geometry_wkt FROM merged"""
     )
 
 
+def oracle_grid_cluster() -> str:
+    from pydriosm_spark.operators.cluster import CELL_KEY_MULT
+
+    C, MP, M = CLUSTER_CELL, CLUSTER_MIN_PTS, CELL_KEY_MULT
+    return (
+        "WITH RECURSIVE "
+        + synth.mentions_cte_duckdb().strip().lstrip()
+        + f""",
+raster AS (
+  SELECT u // {C} AS rx, v // {C} AS ry, COUNT(*) AS n
+  FROM mentions GROUP BY 1, 2
+),
+dense AS (
+  SELECT rx * {M} + ry AS cell_key, rx, ry FROM raster WHERE n >= {MP}
+),
+edges AS (
+  SELECT a.cell_key AS src, b.cell_key AS dst
+  FROM dense a JOIN dense b
+    ON abs(a.rx - b.rx) <= 1 AND abs(a.ry - b.ry) <= 1
+),
+reach(src, dst) AS (
+  SELECT cell_key, cell_key FROM dense
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS cell_key, min(dst) AS cluster FROM reach GROUP BY src
+)
+SELECT m.doc_id, CAST(m.mention_idx AS BIGINT) AS mention_idx,
+       CAST(comp.cluster AS BIGINT) AS cluster
+FROM mentions m
+JOIN comp ON (m.u // {C}) * {M} + (m.v // {C}) = comp.cell_key"""
+    )
+
+
 def oracle_raster_focal() -> str:
     return (
         _o_mentions_prefix()
@@ -345,6 +396,7 @@ def registry() -> dict:
         "vectorize": (q_vectorize, oracle_vectorize()),
         "raster_focal": (q_raster_focal, oracle_raster_focal()),
         "vectorize_runs": (q_vectorize_runs, oracle_vectorize_runs()),
+        "grid_cluster": (q_grid_cluster, oracle_grid_cluster()),
     }
     from pydriosm_spark import queries_layers
 

@@ -92,6 +92,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(spark, _emb(spark, sf_dir), dim=64, k=TOPK)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted lists) — recall-gated in tests."""
+    return similarity.cosine_topk_ivf(spark, _emb(spark, sf_dir), k=TOPK)
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -241,4 +246,5 @@ def registry() -> dict:
         "simhash": (q_simhash, oracle_simhash()),
         "cosine_topk": (q_cosine_topk, oracle_cosine_topk()),
         "ann_lsh": (q_ann_lsh, None),
+        "ann_ivf": (q_ann_ivf, None),
     }

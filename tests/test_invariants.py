@@ -63,8 +63,12 @@ spark.stop()
 
 def test_ann_recall_floor(spark):
     exact = _canon(Q.registry()["cosine_topk"][0](spark, SF_SMOKE))
-    approx = _canon(Q.registry()["ann_lsh"][0](spark, SF_SMOKE))
     e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
-    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
-    recall = len(e & a) / len(e)
-    assert recall >= 0.15, f"ANN recall {recall:.3f} below floor"
+    recalls = {}
+    for name, floor in (("ann_lsh", 0.15), ("ann_ivf", 0.30)):
+        approx = _canon(Q.registry()[name][0](spark, SF_SMOKE))
+        a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
+        recalls[name] = len(e & a) / len(e)
+        assert recalls[name] >= floor, f"{name} recall {recalls[name]:.3f} below {floor}"
+    # the IVF path should beat random-hyperplane LSH on this data
+    assert recalls["ann_ivf"] >= recalls["ann_lsh"], recalls
