@@ -99,7 +99,7 @@ hstore_keys = st.text(
     max_size=12,
 )
 hstore_vals = st.text(
-    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=" :_-.,!?"),
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=" :_-.!?"),
     min_size=0,
     max_size=20,
 )
@@ -108,7 +108,16 @@ hstore_vals = st.text(
 @given(st.dictionaries(hstore_keys, hstore_vals, min_size=1, max_size=6))
 @settings(max_examples=100)
 def test_hstore_roundtrip(d):
+    # NOTE: values are drawn without ',' — the REFERENCE's own parser
+    # mangles values containing '","' (its quote-boundary split fires
+    # inside the value, transformer.py:366); we reproduce that behavior
+    # byte-for-byte, so round-trip only holds on the unambiguous domain.
     s = ",".join(f'"{k}"=>"{v}"' for k, v in d.items())
     parsed = parse_hstore(s)
     want = {k: v.replace("<br>", " ") for k, v in d.items()}
     assert parsed == want
+
+
+def test_hstore_reference_mangling_quirk():
+    # pinned: the reference regex splits inside a value equal to ','
+    assert parse_hstore('"0"=>","') == {"0": ""}
