@@ -207,6 +207,33 @@ def polygons_intersect(rings_a, rings_b) -> bool:
     return False
 
 
+def polygon_area(rings) -> float:
+    """Planar polygon area (shoelace; holes subtract via even-odd ring
+    composition — each ring's |signed area| after the first subtracts)."""
+    total = 0.0
+    for i, ring in enumerate(rings):
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        x, y = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        a = abs(float(np.sum(x * y1 - x1 * y)) / 2.0)
+        total += a if i == 0 else -a
+    return total
+
+
+def polygon_perimeter(rings) -> float:
+    """Sum of ring lengths (planar)."""
+    total = 0.0
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        d = np.diff(r, axis=0)
+        total += float(np.sqrt((d * d).sum(axis=1)).sum())
+    return total
+
+
 def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     """Great-circle distance in meters (vectorized)."""
     R = 6371008.8

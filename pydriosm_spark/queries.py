@@ -13,6 +13,7 @@ after sorting columns by name).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,6 +115,44 @@ def q_vectorize_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_n").cast("long").alias("sum_n"),
         "geometry_wkt",
     )
+
+
+def q_zone_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measurement functions (ST_Area / ST_Length analogues):
+    WKT -> shoelace area + ring perimeter in a vectorized Arrow kernel,
+    integer-scaled for exact oracle comparison.  ``sf_dir`` unused
+    (pure geometry) but kept for the uniform signature."""
+    from pyspark.sql.types import LongType
+
+    from pydriosm_spark.geometry.ops import polygon_area, polygon_perimeter
+    from pydriosm_spark.geometry.wkt import parse_wkt
+
+    zones = synth.polygons_df(spark, "zones")
+
+    @F.pandas_udf(LongType())
+    def area_e10(wkt: pd.Series) -> pd.Series:
+        return wkt.map(lambda w: int(round(polygon_area(parse_wkt(w)[1]) * 1e10)))
+
+    @F.pandas_udf(LongType())
+    def perimeter_e5(wkt: pd.Series) -> pd.Series:
+        return wkt.map(lambda w: int(round(polygon_perimeter(parse_wkt(w)[1]) * 1e5)))
+
+    return zones.select(
+        F.col("feature_id").cast("long").alias("feature_id"),
+        area_e10("geometry_wkt").alias("area_e10"),
+        perimeter_e5("geometry_wkt").alias("perimeter_e5"),
+    )
+
+
+def oracle_zone_measures() -> str:
+    z = synth
+    area = z.ZONE_W * z.ZONE_H - z.ZONE_QW * z.ZONE_QH
+    perim = 2 * (z.ZONE_W + z.ZONE_H)  # rectilinear L == bounding rect
+    return f"""
+SELECT CAST(q.z AS BIGINT) AS feature_id,
+       CAST({area} AS BIGINT) AS area_e10,
+       CAST({perim} AS BIGINT) AS perimeter_e5
+FROM (SELECT unnest(range(0, {z.ZONE_NX * z.ZONE_NY})) AS z) q"""
 
 
 CLUSTER_CELL = 1500
@@ -397,6 +436,7 @@ def registry() -> dict:
         "raster_focal": (q_raster_focal, oracle_raster_focal()),
         "vectorize_runs": (q_vectorize_runs, oracle_vectorize_runs()),
         "grid_cluster": (q_grid_cluster, oracle_grid_cluster()),
+        "zone_measures": (q_zone_measures, oracle_zone_measures()),
     }
     from pydriosm_spark import queries_layers
 
