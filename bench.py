@@ -36,7 +36,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("SPARK_GRAFT_REPL", "24"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "2400"))
-SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 SCALING_LO, SCALING_HI = 2, 8
 
 
@@ -204,6 +204,9 @@ def main():
     from pydriosm_spark.session import get_spark
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # scaling first: measured on a cold box before the suite heats it
+    scaling = scaling_probe(SF_DIR) if SCALING else None
+
     spark = get_spark(parallelism=CPUS, app_name="bench")
     times, n_mentions, n_joined = run_suite(spark, SF_DIR)
     spark.stop()
@@ -219,8 +222,8 @@ def main():
         "rows": {"mentions": n_mentions, "joined": n_joined},
         "throughput_rows_per_sec": round(n_mentions * 5 / work_sec, 1),
     }
-    if SCALING:
-        result["scaling"] = scaling_probe(SF_DIR)
+    if scaling is not None:
+        result["scaling"] = scaling
     print(json.dumps(result))
 
 

@@ -32,7 +32,14 @@ SIMHASH_BITS = 60
 
 def _shingles(df: DataFrame, text: str = "text") -> DataFrame:
     """Distinct 3-word shingles per doc (whole text as fallback when the
-    doc has < K tokens) — native higher-order exprs."""
+    doc has < K tokens) — native higher-order exprs.
+
+    Small inputs (e.g. a single parquet file = one partition) are
+    repartitioned to the session's parallelism first: shingling + md5
+    is CPU-bound and must not serialize onto one task."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     toks = f"split(trim({text}), '\\\\s+')"
     sh = (
         f"CASE WHEN size({toks}) < {SHINGLE_K} THEN array(trim({text})) "
