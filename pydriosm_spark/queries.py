@@ -395,7 +395,7 @@ raster AS (
   SELECT u // {RASTER_CELL} AS rx, v // {RASTER_CELL} AS ry, COUNT(*) AS n
   FROM mentions GROUP BY 1, 2
 )
-SELECT a.rx, a.ry, a.n, SUM(b.n) AS focal_sum
+SELECT a.rx, a.ry, a.n, CAST(SUM(b.n) AS BIGINT) AS focal_sum
 FROM raster a
 JOIN raster b
   ON b.rx BETWEEN a.rx - 1 AND a.rx + 1

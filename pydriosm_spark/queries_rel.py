@@ -139,10 +139,10 @@ def q_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -153,7 +153,7 @@ ORDER BY l_returnflag, l_linestatus"""
 def oracle_market_share() -> str:
     return """
 SELECT r_name, count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_acctbal_c
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -164,8 +164,8 @@ def oracle_top_orders() -> str:
     return """
 WITH rev AS (
   SELECT l_orderkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o_orderpriority,
@@ -187,14 +187,14 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 def oracle_event_windows() -> str:
     return """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2"""
 
 
 def oracle_rollup() -> str:
     return """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
@@ -238,7 +238,7 @@ s AS (
 )
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM s GROUP BY user_id, sid"""
 
 

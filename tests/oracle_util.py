@@ -47,4 +47,7 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         con.close()
     assert list(got.columns) == list(want.columns), (list(got.columns), list(want.columns))
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # check_dtype=True: DuckDB sum(BIGINT) yields HUGEINT -> pandas float64,
+    # which the driver's value hash distinguishes from Spark's int64 even when
+    # values are identical — oracles must CAST the outer sum to BIGINT.
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
