@@ -38,6 +38,9 @@ SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "2400"))
 SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 SCALING_LO, SCALING_HI = 2, 8
+#: per-query trials for the suite; min-of-N is the noise-robust statistic
+#: on this box (run-to-run variance is 2-3x)
+SUITE_TRIALS = int(os.environ.get("SPARK_GRAFT_SUITE_TRIALS", "2"))
 
 
 def _webpages_from(d, cpus: int):
@@ -82,6 +85,19 @@ def run_suite(spark, sf_dir: str):
     from pydriosm_spark.sources import synth
 
     times = {}
+    results = {}
+
+    def timed(name: str, action, trials: int = SUITE_TRIALS):
+        best = None
+        for _ in range(max(1, trials)):
+            t0 = time.time()
+            results[name] = action()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+
+    # one-time materialization (cached input for the spatial stages) —
+    # inherently a single cold run, not min-of-trials
     t0 = time.time()
     web = _webpages_from(
         _replicated_docs(spark, sf_dir, REPL, CPUS * 2), CPUS
@@ -89,33 +105,34 @@ def run_suite(spark, sf_dir: str):
     web.count()
     times["prepare_webpages"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    n_mentions = extract.extract_mentions(web).count()
-    times["extract"] = round(time.time() - t0, 3)
+    timed("extract", lambda: extract.extract_mentions(web).count())
+    timed(
+        "tile_assign",
+        lambda: tiling.assign_tiles(
+            extract.extract_mentions(web), Q.TILE_RES, Q.TILE_PARENT_RES
+        ).count(),
+    )
+    timed(
+        "spatial_join_zones",
+        lambda: spatial_join_points_polygons(
+            spark, extract.extract_mentions(web), synth.zone_features(), res=Q.JOIN_RES
+        ).count(),
+    )
+    timed(
+        "knn_cell",
+        lambda: knn_ops.knn_cell(
+            spark, extract.extract_mentions(web), synth.places_df(spark), k=3
+        ).count(),
+    )
 
-    t0 = time.time()
-    tiling.assign_tiles(
-        extract.extract_mentions(web), Q.TILE_RES, Q.TILE_PARENT_RES
-    ).count()
-    times["tile_assign"] = round(time.time() - t0, 3)
+    def _rast_vec():
+        r = tiling.rasterize(extract.extract_mentions(web), Q.RASTER_CELL)
+        return tiling.vectorize(r, Q.RASTER_CELL, Q.VEC_MIN_COUNT).count()
 
-    t0 = time.time()
-    n_joined = spatial_join_points_polygons(
-        spark, extract.extract_mentions(web), synth.zone_features(), res=Q.JOIN_RES
-    ).count()
-    times["spatial_join_zones"] = round(time.time() - t0, 3)
+    timed("rasterize_vectorize", _rast_vec)
 
-    t0 = time.time()
-    knn_ops.knn_cell(
-        spark, extract.extract_mentions(web), synth.places_df(spark), k=3
-    ).count()
-    times["knn_cell"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    r = tiling.rasterize(extract.extract_mentions(web), Q.RASTER_CELL)
-    tiling.vectorize(r, Q.RASTER_CELL, Q.VEC_MIN_COUNT).count()
-    times["rasterize_vectorize"] = round(time.time() - t0, 3)
-
+    n_mentions = results["extract"]
+    n_joined = results["spatial_join_zones"]
     web.unpersist()
 
     # training-data pipeline ops on the raw driver tables at this SF
@@ -126,17 +143,17 @@ def run_suite(spark, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    t0 = time.time()
-    dedup.minhash_lsh_pairs(docs, jaccard_e6_min=100_000).count()
-    times["dedup_minhash_lsh"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    dedup.with_simhash(docs).select(F.max("simhash"), F.count(F.lit(1))).collect()
-    times["simhash"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    similarity.cosine_topk_bruteforce(spark, emb, k=5).count()
-    times["cosine_topk"] = round(time.time() - t0, 3)
+    timed(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(docs, jaccard_e6_min=100_000).count(),
+    )
+    timed(
+        "simhash",
+        lambda: dedup.simhash_signature(docs)
+        .select(F.max("simhash"), F.count(F.lit(1)))
+        .collect(),
+    )
+    timed("cosine_topk", lambda: similarity.cosine_topk_bruteforce(spark, emb, k=5).count())
 
     return times, n_mentions, n_joined
 
@@ -167,7 +184,17 @@ def _scaling_worker(cpus: int, path: str, trials: int):
 def scaling_probe(sf_dir: str) -> dict:
     from pydriosm_spark.session import get_spark
 
-    mat = os.path.join(tempfile.gettempdir(), f"webpages_scaling_{SCALING_REPL}")
+    # cache key includes the input identity (path + documents mtime/size),
+    # not just REPL — switching SPARK_GRAFT_SF_DIR must not silently reuse
+    # a stale materialization
+    import hashlib
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    sig = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}:{SCALING_REPL}".encode()
+    ).hexdigest()[:12]
+    mat = os.path.join(tempfile.gettempdir(), f"webpages_scaling_{SCALING_REPL}_{sig}")
     if not os.path.exists(os.path.join(mat, "_SUCCESS")):
         spark = get_spark(parallelism=CPUS, app_name="bench_scaling_prepare")
         _webpages_from(

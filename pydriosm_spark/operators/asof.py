@@ -37,12 +37,19 @@ def asof_join(
     lt = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
+    # ts + payload travel as ONE struct so last(ignorenulls) can never mix
+    # fields from different right rows (a NULL payload value in the matched
+    # row must surface as NULL, not fall back to an older row's value —
+    # DuckDB ASOF semantics).  The struct itself is non-null for every right
+    # row and absent (null) for left rows, which is what ignorenulls keys on.
     rt = right.select(
         F.col(key),
         F.col(right_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).cast("timestamp").alias("__asof_ts"),
-        *[F.col(c).alias(f"__p_{c}") for c in right_payload],
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("ts"),
+            *[F.col(c).alias(c) for c in right_payload],
+        ).alias("__r"),
         *([F.col(tie_break).alias("__tb")] if tie_break else []),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
@@ -52,13 +59,12 @@ def asof_join(
         order.append(F.col("__tb").asc_nulls_first())
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
 
-    carried = u.withColumn("asof_ts", F.last("__asof_ts", ignorenulls=True).over(w))
+    carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    carried = carried.withColumn("asof_ts", F.col("__last_r.ts"))
     for c in right_payload:
-        carried = carried.withColumn(f"asof_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
+        carried = carried.withColumn(f"asof_{c}", F.col(f"__last_r.{c}"))
 
-    out = carried.filter(F.col("__side") == 1).drop(
-        "__ts", "__side", "__asof_ts", *[f"__p_{c}" for c in right_payload]
-    )
+    out = carried.filter(F.col("__side") == 1).drop("__ts", "__side", "__r", "__last_r")
     if tie_break:
         out = out.drop("__tb")
     return out

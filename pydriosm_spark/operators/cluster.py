@@ -24,9 +24,12 @@ from pyspark.sql import functions as F
 from pydriosm_spark.operators import tiling
 from pydriosm_spark.operators.dedup import connected_components
 
-#: packs (rx, ry) into one integer key; rasters here are bbox-local so
-#: coordinates are far below the multiplier
+#: packs (rx, ry) into one integer key: rx * MULT + (ry + OFF).  The OFF
+#: shift makes the packing injective for ry in [-MULT/2, MULT/2) — without
+#: it, (rx=1, ry=-1) and (rx=0, ry=MULT-1) collide.  rx range is bounded by
+#: 2^63 / MULT.  The oracle (queries.py) uses the same constants.
 CELL_KEY_MULT = 1_000_000
+CELL_KEY_OFF = CELL_KEY_MULT // 2
 
 
 def grid_cluster(
@@ -43,7 +46,9 @@ def grid_cluster(
 
     raster = tiling.rasterize(points, cell_size, u=u, v=v)
     dense = raster.filter(F.col("n") >= min_pts).select(
-        (F.col("rx") * CELL_KEY_MULT + F.col("ry")).alias("cell_key"), "rx", "ry"
+        (F.col("rx") * CELL_KEY_MULT + F.col("ry") + CELL_KEY_OFF).alias("cell_key"),
+        "rx",
+        "ry",
     )
 
     offs = F.array(
@@ -55,9 +60,11 @@ def grid_cluster(
     )
     probe = dense.withColumn("__o", F.explode(offs)).select(
         F.col("cell_key").alias("id_a"),
-        ((F.col("rx") + F.col("__o.dx")) * CELL_KEY_MULT + (F.col("ry") + F.col("__o.dy"))).alias(
-            "id_b"
-        ),
+        (
+            (F.col("rx") + F.col("__o.dx")) * CELL_KEY_MULT
+            + (F.col("ry") + F.col("__o.dy"))
+            + CELL_KEY_OFF
+        ).alias("id_b"),
     )
     # keep edges whose neighbor is itself dense; the dx=dy=0 self-loop
     # keeps isolated dense cells in the vertex set
@@ -71,6 +78,8 @@ def grid_cluster(
 
     pts = points.withColumn(
         "cell_key",
-        (F.col(u) / cell_size).cast("long") * CELL_KEY_MULT + (F.col(v) / cell_size).cast("long"),
+        tiling.cell_coord(u, cell_size) * CELL_KEY_MULT
+        + tiling.cell_coord(v, cell_size)
+        + CELL_KEY_OFF,
     )
     return pts.join(F.broadcast(comp), "cell_key", "inner").select(*point_keys, "cluster")

@@ -186,26 +186,48 @@ def connected_components(
     labels = edges.select(F_.col("a").alias("doc_id")).distinct().withColumn(
         "component", F_.col("doc_id")
     )
+    converged = False
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy(F_.col("a").alias("doc_id"))
             .agg(F_.min("component").alias("__nbmin"))
         )
+        prop = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F_.least(
+                F_.col("component"), F_.coalesce(F_.col("__nbmin"), F_.col("component"))
+            ).alias("component"),
+            (F_.col("__nbmin") < F_.col("component")).alias("__chg"),
+        )
+        # pointer-doubling shortcut: component <- label(component).  Combined
+        # with the neighbor-min step this converges in O(log diameter)
+        # rounds instead of O(diameter) — long near-dup chains at web scale
+        # would otherwise exhaust max_iterations.
+        par = prop.select(
+            F_.col("doc_id").alias("__p"), F_.col("component").alias("__pc")
+        )
         new_labels = (
-            labels.join(neigh, "doc_id", "left")
+            prop.join(par, prop["component"] == par["__p"], "left")
             .select(
                 "doc_id",
                 F_.least(
-                    F_.col("component"), F_.coalesce(F_.col("__nbmin"), F_.col("component"))
+                    F_.col("component"), F_.coalesce(F_.col("__pc"), F_.col("component"))
                 ).alias("component"),
-                (F_.col("__nbmin") < F_.col("component")).alias("__chg"),
+                (F_.col("__chg") | (F_.col("__pc") < F_.col("component"))).alias("__chg"),
             )
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
         changed = new_labels.filter(F_.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (labels would be silently wrong)"
+        )
     return labels
 
 
@@ -215,8 +237,13 @@ def simhash_fragments(text: str, dialect: str) -> tuple[str, str]:
     Token hash = first 15 md5 hex digits as a 60-bit int; bit k of the
     signature is set iff tokens with bit k set are a (weak) majority.
     ``signature_sql`` references the bound array as ``__h`` and the token
-    count as ``__n`` — bind both first (withColumn / CTE).  Pure
-    built-ins -> whole-stage codegen, no shuffle, no Python.
+    count as ``__n`` — bind both first (withColumn / CTE).
+
+    Used for the DuckDB oracle (and as a reference HOF form); the Spark
+    engine path is :func:`simhash_signature` — explode + one hash
+    aggregate, fully whole-stage-codegen (Spark evaluates HOF lambdas
+    interpreted, ~10x slower than codegen; 60 ``filter()`` passes per row
+    was the repo's own anti-pattern).
     """
     if dialect == "spark":
         toks = f"split(trim({text}), '\\\\s+')"
@@ -233,11 +260,41 @@ def simhash_fragments(text: str, dialect: str) -> tuple[str, str]:
     return hashes, "(" + " + ".join(bits) + ")"
 
 
-def with_simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
-    hashes, total = simhash_fragments(text, "spark")
-    return (
-        df.withColumn("__h", F.expr(hashes))
-        .withColumn("__n", F.expr("size(__h)"))
-        .withColumn(out, F.expr(total))
-        .drop("__h", "__n")
+def simhash_signature(
+    df: DataFrame, key: str = "doc_id", text: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """(key, simhash) via explode + ONE hash aggregate.
+
+    Tokens explode (codegen), the 60-bit hash is projected once per token,
+    then 60 bit-count sums + a token count run in a single partial+final
+    hash agg — only |docs| x 61 longs shuffle.  Matches the HOF/oracle
+    form bit-for-bit (duplicates kept: explode == full-array filter())."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
+    tok = df.select(
+        key, F.explode(F.expr(f"split(trim({text}), '\\\\s+')")).alias("__t")
+    ).select(
+        key,
+        # project the hash ONCE — Catalyst would re-evaluate a bound md5
+        # expression inside each of the 60 aggregates otherwise
+        F.expr("CAST(conv(substr(md5(__t), 1, 15), 16, 10) AS BIGINT)").alias("__h"),
     )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright("__h", k).bitwiseAND(F.lit(1))).alias(f"__c{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    wide = tok.groupBy(key).agg(*aggs)
+    bits = " + ".join(
+        f"(CASE WHEN 2 * __c{k} >= __n THEN CAST({1 << k} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return wide.select(key, F.expr(bits).alias(out))
+
+
+def with_simhash(
+    df: DataFrame, text: str = "text", out: str = "simhash", key: str = "doc_id"
+) -> DataFrame:
+    """All input columns + the SimHash signature (joined back on ``key``)."""
+    return df.join(simhash_signature(df, key, text, out), key)

@@ -113,13 +113,16 @@ def knn_cell(
     )
 
     # Certification without a second window pass: a point is certified
-    # iff it has >= k candidates INSIDE the ball of radius R*S (anything
-    # unseen is outside the R-disk, hence farther than R*S) — and then
-    # its true top-k is a subset of those in-ball candidates.  One
+    # iff it has >= k candidates STRICTLY inside the ball of radius R*S
+    # (anything unseen is outside the R-disk, hence at distance > R*S) —
+    # and then its true top-k is a subset of those in-ball candidates.
+    # Strict < at the boundary: a candidate at exactly R*S cannot be
+    # proven to beat an unseen place's (d2, place_id) tie-break, so such
+    # points take the exact brute-force fallback instead.  One
     # repartition on the point key serves both the certifying count
     # (map-side partial agg) and the top-k window.
     bound = (R * S) * (R * S)
-    bc = cand.filter(F.col("d2") <= bound).repartition(*[F.col(c) for c in point_keys])
+    bc = cand.filter(F.col("d2") < bound).repartition(*[F.col(c) for c in point_keys])
     counts = bc.groupBy(*point_keys).agg(F.count(F.lit(1)).alias("__n_ball"))
     certified = counts.filter(F.col("__n_ball") >= k).select(*point_keys)
 

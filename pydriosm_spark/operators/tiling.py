@@ -39,12 +39,20 @@ def assign_tiles(points: DataFrame, res: int, parent_res: int | None = None,
     return out
 
 
+def cell_coord(col: str, cell_size: int):
+    """Floor-division cell coordinate — sign-safe (truncation toward zero
+    would merge cells -1 and 0 for negative coords and diverge from the
+    oracle's ``//``).  Exact for |coord| < 2^52 (double division of two
+    exactly-representable ints can't cross an integer boundary there)."""
+    return F.floor(F.col(col) / F.lit(cell_size)).cast("long")
+
+
 def rasterize(points: DataFrame, cell_size: int, u: str = "u", v: str = "v",
               value: str | None = None) -> DataFrame:
     """Integer raster over (u, v): returns (rx, ry, n[, sum_value])."""
     g = points.groupBy(
-        (F.col(u) / cell_size).cast("long").alias("rx"),
-        (F.col(v) / cell_size).cast("long").alias("ry"),
+        cell_coord(u, cell_size).alias("rx"),
+        cell_coord(v, cell_size).alias("ry"),
     )
     aggs = [F.count(F.lit(1)).alias("n")]
     if value is not None:

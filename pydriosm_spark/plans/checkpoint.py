@@ -87,6 +87,15 @@ class PartitionedCheckpoint:
             r[0]
             for r in df.select(self.col).distinct().orderBy(self.col).collect()
         ]
+        # A NULL partition value would silently vanish (filter(col == NULL)
+        # matches nothing) while the manifest committed 'None' with rows=0 —
+        # breaking the "resume state identical to a clean run" contract.
+        # Reject up front; callers must map nulls to a sentinel themselves.
+        if any(v is None for v in values):
+            raise ValueError(
+                f"partition column {self.col!r} contains NULL values; "
+                "map them to an explicit sentinel before checkpointing"
+            )
         skipped = [v for v in values if str(v) in done]
         todo = [v for v in values if str(v) not in done]
 

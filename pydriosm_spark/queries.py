@@ -353,9 +353,9 @@ SELECT ry, rx_min, rx_max, n_cells, sum_n, {rect} AS geometry_wkt FROM merged"""
 
 
 def oracle_grid_cluster() -> str:
-    from pydriosm_spark.operators.cluster import CELL_KEY_MULT
+    from pydriosm_spark.operators.cluster import CELL_KEY_MULT, CELL_KEY_OFF
 
-    C, MP, M = CLUSTER_CELL, CLUSTER_MIN_PTS, CELL_KEY_MULT
+    C, MP, M, O = CLUSTER_CELL, CLUSTER_MIN_PTS, CELL_KEY_MULT, CELL_KEY_OFF
     return (
         "WITH RECURSIVE "
         + synth.mentions_cte_duckdb().strip().lstrip()
@@ -365,7 +365,7 @@ raster AS (
   FROM mentions GROUP BY 1, 2
 ),
 dense AS (
-  SELECT rx * {M} + ry AS cell_key, rx, ry FROM raster WHERE n >= {MP}
+  SELECT rx * {M} + ry + {O} AS cell_key, rx, ry FROM raster WHERE n >= {MP}
 ),
 edges AS (
   SELECT a.cell_key AS src, b.cell_key AS dst
@@ -383,7 +383,7 @@ comp AS (
 SELECT m.doc_id, CAST(m.mention_idx AS BIGINT) AS mention_idx,
        CAST(comp.cluster AS BIGINT) AS cluster
 FROM mentions m
-JOIN comp ON (m.u // {C}) * {M} + (m.v // {C}) = comp.cell_key"""
+JOIN comp ON (m.u // {C}) * {M} + (m.v // {C}) + {O} = comp.cell_key"""
     )
 
 

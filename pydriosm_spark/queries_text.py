@@ -69,7 +69,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.with_simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    return dedup.simhash_signature(_docs(spark, sf_dir))
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

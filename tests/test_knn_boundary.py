@@ -1,0 +1,66 @@
+"""kNN ball-boundary regression (VERDICT r1 §wrong-2): certification must
+be strict — a candidate at exactly distance R*S cannot certify a point,
+because the tie-break against a hypothetical unseen equidistant place
+with a smaller place_id could not be proven.  Points with boundary-exact
+k-th candidates must fall back to brute force and still produce the
+brute-force answer.  Also covers negative coordinates (floor bucketing).
+"""
+
+import pytest
+
+from pydriosm_spark.operators import knn
+
+S, R = 10, 2  # cell size, disk radius -> ball radius R*S = 20
+
+
+def _knn_pairs(df):
+    return {
+        (r["doc_id"], r["mention_idx"], r["rank"]): (r["place_id"], r["d2"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def boundary_case(spark):
+    # point P0 at origin; its nearest place sits at EXACTLY distance R*S
+    # (d2 = 400) on the ball boundary; next places just outside.
+    # point P1 at (-35, -35): negative coords exercise floor bucketing.
+    points = spark.createDataFrame(
+        [(0, 0, 0, 0), (1, 0, -35, -35)],
+        "doc_id long, mention_idx long, u long, v long",
+    )
+    places = spark.createDataFrame(
+        [
+            (1, 20, 0),     # d(P0) = 20 exactly (boundary)
+            (2, 21, 0),     # d(P0) = 21 (outside ball)
+            (3, 0, 22),     # d(P0) = 22
+            (4, -35, -30),  # d(P1) = 5
+            (5, -40, -35),  # d(P1) = 5 (tie on d2 -> place_id order)
+            (6, -100, -100),  # far from both
+        ],
+        "place_id long, pu long, pv long",
+    )
+    return points, places
+
+
+def test_boundary_exact_candidate_matches_bruteforce(spark, boundary_case):
+    points, places = boundary_case
+    got = _knn_pairs(knn.knn_cell(spark, points, places, k=2, cell_size=S, disk_radius=R))
+    want = _knn_pairs(knn.knn_bruteforce(points, places, k=2))
+    assert got == want
+    # P0's top-1 is the boundary-exact place
+    assert got[(0, 0, 1)] == (1, 400)
+    # P1 tie at d2=25 broken by smaller place_id
+    assert got[(1, 0, 1)] == (4, 25)
+    assert got[(1, 0, 2)] == (5, 25)
+
+
+def test_boundary_point_is_uncertified(spark, boundary_case):
+    """The strict < must route P0 (k-th candidate exactly at R*S) through
+    the fallback: with k=1 its only in-ball candidate count is 0."""
+    points, places = boundary_case
+    from pyspark.sql import functions as F
+
+    p0 = points.filter(F.col("doc_id") == 0)
+    out = _knn_pairs(knn.knn_cell(spark, p0, places, k=1, cell_size=S, disk_radius=R))
+    assert out == {(0, 0, 1): (1, 400)}

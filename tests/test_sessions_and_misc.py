@@ -67,3 +67,41 @@ def test_checkpoint_drop(spark, tmp_path):
     assert sorted(dropped) == ["1", "3"]
     assert sorted(ck.committed()) == ["0", "2"]
     assert ck.read(spark).count() == 50
+
+
+def test_checkpoint_rejects_null_partition(spark, tmp_path):
+    """NULL partition values would be silently dropped (filter(col ==
+    NULL) matches nothing) while the manifest committed rows=0 — must
+    fail loudly instead (ADVICE r1)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn(
+        "part", F.when(F.col("id") < 8, F.col("id") % 2)
+    )
+    ck = PartitionedCheckpoint(str(tmp_path / "n"), "part")
+    with pytest.raises(ValueError, match="NULL"):
+        ck.run(df, run_id="r1")
+
+
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """The matched (latest) right row's NULL payload must surface as
+    NULL — not silently replaced by an older right row's value (DuckDB
+    ASOF semantics; ADVICE r1)."""
+    from pydriosm_spark.operators.asof import asof_join
+
+    lefts = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00")], "event_id long, user_id string, ts string"
+    )
+    rights = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 08:00:00", 7),
+            ("u", "2024-01-01 09:00:00", None),  # latest <= left ts, NULL payload
+        ],
+        "user_id string, ts string, signup_id long",
+    )
+    out = asof_join(lefts, rights, key="user_id", right_payload=["signup_id"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert str(row["asof_ts"]) == "2024-01-01 09:00:00"
+    assert row["asof_signup_id"] is None
