@@ -1,19 +1,33 @@
-"""Similarity search over embedding columns (`array<float>`).
+"""Similarity search over embedding columns (``array<float>``).
 
 * ``cosine_topk_bruteforce`` — exact top-k neighbors: the embedding
   index is broadcast as one numpy matrix; queries stream through
   ``mapInPandas`` and each Arrow batch does a single BLAS matmul.
   This is the right plan while the *index* side fits an executor
   (~10^6 x 64 floats = 256 MB); the query side scales without bound.
+  The index build is ``collect -> sc.broadcast`` behind an explicit
+  size gate — never an unbounded driver pandas round-trip.
 
-* ``cosine_topk_lsh`` — the scale path: random-hyperplane LSH buckets
-  (deterministic integer planes), candidates = bucket collisions across
-  any of ``n_tables`` rotated plane sets, exact re-rank of candidates.
-  Recall < 1 by construction; verified against brute force in tests
-  (the driver records a rows-only check for it).
+* ``cosine_topk_lsh`` — random-hyperplane LSH buckets over
+  *integer-quantized* embeddings, candidates = bucket collisions
+  across ``n_tables`` plane sets, exact re-rank of candidates.
 
-At 10^12-scale the LSH variant shards the index by bucket and co-
-partitions queries by the same bucket fn — a shuffle-light equi-join;
+* ``cosine_topk_ivf`` — IVF: a distributed Lloyd k-means coarse
+  quantizer (mapInPandas partial sums + driver combine — the driver
+  only ever sees k x dim integers, never the data), inverted lists
+  keyed by centroid, multi-probe queries, exact re-rank.
+
+Cross-engine determinism: embeddings are quantized to integers
+(``round(x * 1e6)``) before any hashing/ranking arithmetic.  Integer
+dots of bounded magnitude are exact in float64 REGARDLESS of summation
+order, so numpy kernels here and DuckDB ``list_dot_product`` oracles
+produce bit-identical buckets, centroids, and similarity scores — both
+ANN paths carry full SQL oracles (queries_text.py).  Bounds: |q| <=
+~2^20 (QUANT x max|e|), plane dot <= 64 * 2^20 * 48 < 2^32, re-rank dot
+<= 64 * 2^40 < 2^47, all << 2^53.
+
+At 10^12-scale the LSH/IVF variants shard the index by bucket/list and
+co-partition queries by the same key — a shuffle-light equi-join;
 brute force remains the per-bucket re-rank kernel.
 """
 
@@ -28,6 +42,10 @@ from pyspark.sql import functions as F
 
 N_PLANES = 6
 N_TABLES = 8
+#: embedding quantization scale: round(x * QUANT) -> BIGINT
+QUANT = 1_000_000
+#: index-side cap for the broadcast brute-force plan (~dim x 8 bytes each)
+MAX_INDEX_ROWS = 2_000_000
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -36,25 +54,51 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def quantize_sql(vec_col: str, dialect: str) -> str:
+    """array<float> -> array<bigint> at scale QUANT; same values in both
+    engines (float->double widening is exact; both round half-away)."""
+    if dialect == "spark":
+        return f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    return f"list_transform({vec_col}, x -> CAST(round(x::DOUBLE * {QUANT}) AS BIGINT))"
+
+
+def quantized(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return emb.select(id_col, F.expr(quantize_sql(vec_col, "spark")).alias("qv"))
+
+
+def _mat(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.int64)
+
+
 def cosine_topk_bruteforce(
     spark: SparkSession,
     emb: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_index_rows: int = MAX_INDEX_ROWS,
 ) -> DataFrame:
-    """All-pairs exact top-k (self excluded): (vec_id, rank, neighbor_id)."""
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = _norm_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat))
+    """All-pairs exact top-k (self excluded): (vec_id, rank, neighbor_id).
+
+    The index side is collected and broadcast ONCE (no pandas
+    round-trip); ``max_index_rows`` is the documented gate — beyond it,
+    use the LSH/IVF paths, whose index stays distributed."""
+    n = emb.count()
+    if n > max_index_rows:
+        raise ValueError(
+            f"brute-force index would broadcast {n} rows > {max_index_rows}; "
+            "use cosine_topk_lsh / cosine_topk_ivf for indexes this large"
+        )
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = _norm_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    order = np.argsort(ids, kind="stable")
+    bc = spark.sparkContext.broadcast((ids[order], mat[order]))
 
     schema = f"{id_col} long, rank long, neighbor_id long"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bids, bmat = bc.value
-        order = np.argsort(bids, kind="stable")
-        sids, smat = bids[order], bmat[order]
+        sids, smat = bc.value
         for pdf_b in batches:
             q_ids = pdf_b[id_col].to_numpy()
             q = _norm_rows(np.array(pdf_b[vec_col].tolist(), dtype=np.float64))
@@ -82,32 +126,112 @@ def _planes(dim: int, table: int) -> np.ndarray:
     across engines/runs)."""
     i = np.arange(N_PLANES)[:, None]
     d = np.arange(dim)[None, :]
-    return (((i * 131 + d * 17 + table * 257) % 97) - 48).astype(np.float64)
+    return ((i * 131 + d * 17 + table * 257) % 97) - 48
 
 
 def lsh_buckets(
     emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(vec_id, table, bucket): sign-pattern bucket per plane table —
-    computed natively via aggregate() over the embedding array."""
-    out = emb.select(id_col, vec_col)
-    buckets = []
-    for t in range(N_TABLES):
-        P = _planes(dim, t)
-        bits = []
-        for p in range(N_PLANES):
-            coef = ", ".join(f"{c:.1f}D" for c in P[p])
-            dot = (
-                f"aggregate(zip_with({vec_col}, array({coef}), (a, b) -> CAST(a AS DOUBLE) * b), "
-                f"0.0D, (acc, x) -> acc + x)"
+    """(vec_id, table, bucket): sign-pattern bucket per plane table.
+
+    ONE numpy kernel computes all N_TABLES x N_PLANES integer dots per
+    Arrow batch (int64 matmul — exact, so bucket bits match the SQL
+    oracle bit-for-bit); replaces 48 interpreted ``aggregate(zip_with)``
+    HOF expressions per row (~10x slower, the repo's own anti-pattern)."""
+    P = np.concatenate([_planes(dim, t) for t in range(N_TABLES)]).astype(np.int64)
+    pows = (1 << np.arange(N_PLANES, dtype=np.int64))
+
+    schema = f"{id_col} long, table int, bucket int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            Q = _mat(b["qv"])  # (n, dim) int64
+            bits = (Q @ P.T) > 0  # (n, T*PL) exact integer dots
+            bk = (
+                bits.reshape(len(Q), N_TABLES, N_PLANES).astype(np.int64) * pows
+            ).sum(axis=2)
+            n = len(Q)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(b[id_col].to_numpy(), N_TABLES),
+                    "table": np.tile(np.arange(N_TABLES, dtype=np.int32), n),
+                    "bucket": bk.astype(np.int32).ravel(),
+                }
             )
-            bits.append(f"(CASE WHEN {dot} > 0.0D THEN {1 << p} ELSE 0 END)")
-        buckets.append(F.expr("(" + " + ".join(bits) + ")").alias(f"b{t}"))
-    wide = out.select(id_col, *buckets)
-    tables = F.array(*[F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket")) for t in range(N_TABLES)])
-    return wide.select(id_col, F.explode(tables).alias("tb")).select(
-        id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+
+    return quantized(emb, id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def _qcosine():
+    """Arrow-vectorized exact-deterministic cosine of two quantized
+    integer vectors: integer dots (order-independent in int64), then the
+    identical float64 ``dot / sqrt(double(n2a) * double(n2b))`` the SQL
+    oracle computes — bit-equal across engines.  (Factory: pandas_udf
+    registration needs an active session.)"""
+
+    @F.pandas_udf("double")
+    def qcos(qa: pd.Series, qb: pd.Series) -> pd.Series:
+        A, B = _mat(qa), _mat(qb)
+        dot = np.einsum("ij,ij->i", A, B).astype(np.float64)
+        n2a = np.einsum("ij,ij->i", A, A).astype(np.float64)
+        n2b = np.einsum("ij,ij->i", B, B).astype(np.float64)
+        denom = np.sqrt(n2a * n2b)
+        return pd.Series(np.where(denom > 0, dot / np.maximum(denom, 1e-300), 0.0))
+
+    return qcos
+
+
+def qcosine_sql(a: str, b: str) -> str:
+    """DuckDB mirror of ``_qcosine`` over two BIGINT[] columns."""
+    dot = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    n2a = f"list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
+    n2b = f"list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])"
+    return f"(CASE WHEN {n2a} * {n2b} > 0 THEN {dot} / sqrt({n2a} * {n2b}) ELSE 0.0 END)"
+
+
+def _rerank(
+    cand: DataFrame, emb_q: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """(qid, nid) candidates -> exact quantized-cosine top-k per qid."""
+    qv = emb_q.select(F.col(id_col).alias("qid"), F.col("qv").alias("qa"))
+    nv = emb_q.select(F.col(id_col).alias("nid"), F.col("qv").alias("qb"))
+    scored = (
+        cand.join(qv, "qid")
+        .join(nv, "nid")
+        .withColumn("sim", _qcosine()(F.col("qa"), F.col("qb")))
     )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+        )
+    )
+
+
+def cosine_topk_lsh(
+    spark: SparkSession,
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via LSH candidates + exact re-rank (approximate,
+    recall-gated; fully SQL-oracled via integer quantization)."""
+    b = lsh_buckets(emb, dim, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("qid"), "table", "bucket")
+    c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
+    cand = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    return _rerank(cand, quantized(emb, id_col, vec_col), k, id_col)
 
 
 def kmeans_fit(
@@ -117,23 +241,65 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic Lloyd k-means over the embedding column: centroids
-    init by id-stride (no RNG), each iteration = one mapInPandas
-    assignment pass (BLAS argmax vs broadcast centroids) + one groupBy
-    average.  At 10^9 vectors this is the standard Spark k-means shape;
-    here the update step averages driver-side since k is tiny."""
-    pdf = emb.select(id_col, vec_col).toPandas().sort_values(id_col, ignore_index=True)
-    mat = _norm_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-    stride = max(1, len(mat) // k)
-    cents = mat[::stride][:k].copy()
+    """Distributed deterministic Lloyd k-means over quantized embeddings.
+
+    Init: the first ``k`` vectors with ``id % (n // k) == 0`` (id-stride,
+    no RNG).  Each iteration: ONE mapInPandas pass emits per-batch
+    (list_id, count, int-sum-vector) partials — the driver combines at
+    most ``batches x k`` tiny rows and re-quantizes the means.  The full
+    table never reaches the driver.  Centroids stay integers, so the
+    assignment metric ``dot(q, c) / sqrt(dot(c, c))`` is bit-identical
+    to the unrolled SQL oracle (queries_text.py).
+
+    Returns int64 centroids (k x dim) at the QUANT scale."""
+    emb_q = quantized(emb, id_col, vec_col)
+    n = emb_q.count()
+    stride = max(1, n // k)
+    init = (
+        emb_q.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([r["qv"] for r in init], dtype=np.int64)
+    dim = cents.shape[1]
+    sc = emb.sparkSession.sparkContext
+
+    schema = "list_id int, cnt long, s array<long>"
     for _ in range(iterations):
-        sims = mat @ cents.T
-        assign = np.argmax(sims, axis=1)
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                cents[c] = mat[m].mean(axis=0)
-        cents = _norm_rows(cents)
+        bc = sc.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            denom = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
+            denom[denom == 0] = 1.0
+            for b in batches:
+                Q = _mat(b["qv"])
+                sims = (Q @ C.T).astype(np.float64) / denom
+                assign = np.argmax(sims, axis=1)  # first max = lowest list_id
+                rows = []
+                for c in np.unique(assign):
+                    m = assign == c
+                    rows.append((int(c), int(m.sum()), Q[m].sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["list_id", "cnt", "s"])
+
+        parts = emb_q.mapInPandas(partials, schema).collect()
+        sums = np.zeros((len(cents), dim), dtype=np.int64)
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        for r in parts:
+            sums[r["list_id"]] += np.array(r["s"], dtype=np.int64)
+            cnts[r["list_id"]] += r["cnt"]
+        new = cents.copy()
+        nz = cnts > 0  # empty lists keep their previous centroid
+        means = sums[nz].astype(np.float64) / cnts[nz, None].astype(np.float64)
+        # half-away-from-zero (matches Spark/DuckDB round(); np.round is
+        # banker's).  Quotients of small ints never land within an ulp
+        # of .5, so floor(x+.5) is safe.
+        new[nz] = np.where(
+            means >= 0, np.floor(means + 0.5), np.ceil(means - 0.5)
+        ).astype(np.int64)
+        bc.destroy()
+        cents = new
     return cents
 
 
@@ -146,94 +312,46 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer -> inverted lists keyed by
-    centroid -> each query probes its ``n_probe`` nearest lists ->
-    exact re-rank of candidates.  Approximate (recall-gated in tests);
-    at scale the lists shard the index and queries co-partition by
-    probed list id — an equi-join, never a cross join."""
-    import pandas as pd
-
+    """IVF ANN: distributed k-means coarse quantizer -> inverted lists
+    keyed by centroid -> each query probes its ``n_probe`` nearest lists
+    -> exact re-rank of candidates.  At scale the lists shard the index
+    and queries co-partition by probed list id — an equi-join, never a
+    cross join.  Fully SQL-oracled (integer-exact arithmetic)."""
     cents = kmeans_fit(emb, k=n_lists, id_col=id_col, vec_col=vec_col)
     bc = spark.sparkContext.broadcast(cents)
+    emb_q = quantized(emb, id_col, vec_col)
 
-    assign_schema = f"{id_col} long, list_id int"
+    schema = f"{id_col} long, list_id int"
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def topn(batches: Iterator[pd.DataFrame], n_top: int) -> Iterator[pd.DataFrame]:
         C = bc.value
+        denom = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
+        denom[denom == 0] = 1.0
         for b in batches:
-            q = _norm_rows(np.array(b[vec_col].tolist(), dtype=np.float64))
-            yield pd.DataFrame({id_col: b[id_col], "list_id": np.argmax(q @ C.T, axis=1)})
-
-    probe_schema = f"{id_col} long, list_id int"
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = bc.value
-        for b in batches:
-            q = _norm_rows(np.array(b[vec_col].tolist(), dtype=np.float64))
-            top = np.argsort(-(q @ C.T), axis=1)[:, :n_probe]
-            n = len(b)
+            Q = _mat(b["qv"])
+            sims = (Q @ C.T).astype(np.float64) / denom
+            # stable sort on -sim: equal sims keep list_id order
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(b[id_col].to_numpy(), n_probe),
-                    "list_id": top.ravel(),
+                    id_col: np.repeat(b[id_col].to_numpy(), n_top),
+                    "list_id": top.astype(np.int32).ravel(),
                 }
             )
 
-    vecs = emb.select(id_col, vec_col)
-    index = vecs.mapInPandas(assign, assign_schema)  # inverted lists
-    probes = vecs.mapInPandas(probe, probe_schema).withColumnRenamed(id_col, "qid")
+    def assign(batches):
+        return topn(batches, 1)
 
-    cand = probes.join(index, "list_id").filter(F.col("qid") != F.col(id_col)).select(
-        "qid", F.col(id_col).alias("nid")
-    ).distinct()
+    def probe(batches):
+        return topn(batches, n_probe)
 
-    qv = vecs.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    nv = vecs.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = cand.join(qv, "qid").join(nv, "nid")
-    dot = "aggregate(zip_with(qv, nv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    nrm = (
-        "sqrt(aggregate(transform(qv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0.0D, (acc, x) -> acc + x)) * "
-        "sqrt(aggregate(transform(nv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    index = emb_q.mapInPandas(assign, schema)  # inverted lists
+    probes = emb_q.mapInPandas(probe, schema).withColumnRenamed(id_col, "qid")
+
+    cand = (
+        probes.join(index.withColumnRenamed(id_col, "nid"), "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
     )
-    scored = scored.withColumn("sim", F.expr(f"{dot} / greatest({nrm}, 1e-300)"))
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias(id_col), "rank", F.col("nid").alias("neighbor_id"))
-    )
-
-
-def cosine_topk_lsh(
-    spark: SparkSession,
-    emb: DataFrame,
-    dim: int,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """ANN top-k via LSH candidates + exact re-rank (approximate)."""
-    b = lsh_buckets(emb, dim, id_col, vec_col)
-    a = b.select(F.col(id_col).alias("qid"), "table", "bucket")
-    c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
-    cand = a.join(c, ["table", "bucket"]).filter(F.col("qid") != F.col("nid")).select(
-        "qid", "nid"
-    ).distinct()
-
-    vecs = emb.select(id_col, vec_col)
-    qv = vecs.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    nv = vecs.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = cand.join(qv, "qid").join(nv, "nid")
-
-    dot = "aggregate(zip_with(qv, nv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    nrm = (
-        "sqrt(aggregate(transform(qv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0.0D, (acc, x) -> acc + x)) * "
-        "sqrt(aggregate(transform(nv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
-    )
-    scored = scored.withColumn("sim", F.expr(f"{dot} / greatest({nrm}, 1e-300)"))
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias(id_col), "rank", F.col("nid").alias("neighbor_id"))
-    )
+    return _rerank(cand, emb_q, k, id_col)

@@ -14,6 +14,7 @@ from pydriosm_spark.operators import dedup, similarity
 
 JACCARD_E6_MIN = 100_000  # 0.1 — near-dup threshold for the pair query
 TOPK = 5
+DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,12 +89,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — no SQL oracle (recall-gated in tests)."""
-    return similarity.cosine_topk_lsh(spark, _emb(spark, sf_dir), dim=64, k=TOPK)
+    """Approximate ANN — recall-gated in tests AND fully SQL-oracled
+    (integer-quantized buckets + re-rank are bit-exact cross-engine)."""
+    return similarity.cosine_topk_lsh(spark, _emb(spark, sf_dir), dim=DIM, k=TOPK)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means inverted lists) — recall-gated in tests."""
+    """IVF ANN (distributed k-means inverted lists) — recall-gated in
+    tests AND fully SQL-oracled (the unrolled Lloyd iterations below
+    reproduce the integer-exact centroids)."""
     return similarity.cosine_topk_ivf(spark, _emb(spark, sf_dir), k=TOPK)
 
 
@@ -235,6 +239,115 @@ FROM sims
 QUALIFY rank <= {TOPK}"""
 
 
+def _lsh_bucket_exprs() -> list[str]:
+    """One DuckDB bucket expression per plane table — integer plane dots
+    (exact in DOUBLE), mirroring similarity.lsh_buckets' numpy kernel."""
+    out = []
+    for t in range(similarity.N_TABLES):
+        P = similarity._planes(DIM, t)
+        bits = []
+        for p in range(similarity.N_PLANES):
+            coefs = ", ".join(str(int(c)) for c in P[p])
+            dot = f"list_dot_product(qv::DOUBLE[], [{coefs}]::DOUBLE[])"
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        out.append("(" + " + ".join(bits) + ")")
+    return out
+
+
+def oracle_ann_lsh() -> str:
+    qz = similarity.quantize_sql("embedding", "duckdb")
+    packs = ", ".join(
+        f"struct_pack(t := {t}, bucket := {e})" for t, e in enumerate(_lsh_bucket_exprs())
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {qz} AS qv FROM embeddings),
+b AS (
+  SELECT vec_id, u.s.t AS tbl, u.s.bucket AS bucket
+  FROM (SELECT vec_id, [{packs}] AS bl FROM e), unnest(bl) u(s)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+rr AS (
+  SELECT cand.qid, cand.nid, {similarity.qcosine_sql('ea.qv', 'eb.qv')} AS sim
+  FROM cand JOIN e ea ON ea.vec_id = cand.qid JOIN e eb ON eb.vec_id = cand.nid
+)
+SELECT qid AS vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS BIGINT) AS rank,
+       nid AS neighbor_id
+FROM rr QUALIFY rank <= {TOPK}"""
+
+
+def _ivf_assign_cte(name: str, cents: str) -> str:
+    """Assignment CTE: every vector ranked against every centroid by the
+    kernel's exact metric dot(q, c) / sqrt(dot(c, c))."""
+    n2 = f"list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[])"
+    dot = f"list_dot_product(e.qv::DOUBLE[], c.cent::DOUBLE[])"
+    sim = f"({dot} / (CASE WHEN sqrt({n2}) = 0 THEN 1.0 ELSE sqrt({n2}) END))"
+    return f"""{name} AS (
+  SELECT e.vec_id, e.qv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.list_id ASC) AS rn
+  FROM e CROSS JOIN {cents} c
+)"""
+
+
+def oracle_ann_ivf(n_lists: int = 16, n_probe: int = 4, iterations: int = 5) -> str:
+    """Unrolled distributed-Lloyd oracle: every iteration's assignment +
+    integer re-quantized mean is exact arithmetic, so the final inverted
+    lists, probes, and re-rank equal similarity.cosine_topk_ivf's."""
+    qz = similarity.quantize_sql("embedding", "duckdb")
+    parts = [
+        f"e AS (SELECT vec_id, {qz} AS qv FROM embeddings)",
+        "nn AS (SELECT count(*) AS n FROM e)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv AS cent
+  FROM (SELECT e.vec_id, e.qv FROM e, nn
+        WHERE e.vec_id % greatest(nn.n // {n_lists}, 1) = 0
+        ORDER BY e.vec_id LIMIT {n_lists})
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(_ivf_assign_cte(f"a{i}", f"c{i - 1}"))
+        parts.append(
+            f"""m{i} AS (
+  SELECT a.list_id, r.i AS ord,
+         CAST(round(CAST(sum(a.qv[r.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+  FROM a{i} a, range(1, {DIM + 1}) r(i) WHERE a.rn = 1 GROUP BY a.list_id, r.i
+)"""
+        )
+        parts.append(
+            f"g{i} AS (SELECT list_id, list(cx ORDER BY ord) AS cent FROM m{i} GROUP BY list_id)"
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT c.list_id, coalesce(g.cent, c.cent) AS cent
+  FROM c{i - 1} c LEFT JOIN g{i} g USING (list_id)
+)"""
+        )
+    parts.append(_ivf_assign_cte("af", f"c{iterations}"))
+    parts.append("idx AS (SELECT vec_id AS nid, list_id FROM af WHERE rn = 1)")
+    parts.append(f"pr AS (SELECT vec_id AS qid, list_id FROM af WHERE rn <= {n_probe})")
+    parts.append(
+        "cand AS (SELECT DISTINCT pr.qid, idx.nid FROM pr JOIN idx USING (list_id) WHERE pr.qid <> idx.nid)"
+    )
+    parts.append(
+        f"""rr AS (
+  SELECT cand.qid, cand.nid, {similarity.qcosine_sql('ea.qv', 'eb.qv')} AS sim
+  FROM cand JOIN e ea ON ea.vec_id = cand.qid JOIN e eb ON eb.vec_id = cand.nid
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT qid AS vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS BIGINT) AS rank,
+       nid AS neighbor_id
+FROM rr QUALIFY rank <= {TOPK}"""
+    )
+
+
 def registry() -> dict:
     return {
         "text_quality": (q_quality, oracle_quality()),
@@ -245,6 +358,6 @@ def registry() -> dict:
         "dedup_components": (q_dedup_components, oracle_dedup_components()),
         "simhash": (q_simhash, oracle_simhash()),
         "cosine_topk": (q_cosine_topk, oracle_cosine_topk()),
-        "ann_lsh": (q_ann_lsh, None),
-        "ann_ivf": (q_ann_ivf, None),
+        "ann_lsh": (q_ann_lsh, oracle_ann_lsh()),
+        "ann_ivf": (q_ann_ivf, oracle_ann_ivf()),
     }
