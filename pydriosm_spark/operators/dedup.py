@@ -298,3 +298,60 @@ def with_simhash(
 ) -> DataFrame:
     """All input columns + the SimHash signature (joined back on ``key``)."""
     return df.join(simhash_signature(df, key, text, out), key)
+
+
+SIMHASH_BLOCKS = 4
+
+
+def simhash_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    radius: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Hamming-ball near-dup pairs over SimHash signatures — the bucketed
+    block-rotation search (Manku et al.'s SimHash dedup shape): split the
+    60-bit signature into SIMHASH_BLOCKS exact blocks; by pigeonhole any
+    pair within Hamming distance <= SIMHASH_BLOCKS - 1 shares at least
+    one block, so candidates come from ONE equi-join on (block, value)
+    and the exact bit_count(xor) verify touches candidates only — never
+    all pairs.  ``max_bucket`` caps viral blocks (all-identical content)
+    exactly like the MinHash banding guard.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= radius.
+    """
+    if radius >= SIMHASH_BLOCKS:
+        raise ValueError(
+            f"radius {radius} needs > {radius} blocks for a complete "
+            f"pigeonhole search (have {SIMHASH_BLOCKS})"
+        )
+    bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << bits) - 1
+    sig = simhash_signature(df, key, text)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.expr(f"shiftright(simhash, {i * bits}) & {mask}").alias("val"),
+            )
+            for i in range(SIMHASH_BLOCKS)
+        ]
+    )
+    b = (
+        sig.withColumn("__b", F.explode(blocks))
+        .select(key, "simhash", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"))
+        .withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("blk", "val")))
+        .filter(F.col("bn") <= max_bucket)
+    )
+    a = b.select(F.col(key).alias("id_a"), F.col("simhash").alias("sa"), "blk", "val")
+    c = b.select(F.col(key).alias("id_b"), F.col("simhash").alias("sb"), "blk", "val")
+    return (
+        a.join(c, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -37,9 +37,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.expr(T.langid_sql("text", "spark")).alias("lang_pred")
-    )
+    return T.langid_agg(_docs(spark, sf_dir))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,6 +69,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signature(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (block-rotation bucketed
+    search + exact bit_count verify) — end-to-end SimHash dedup."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +229,31 @@ WITH h AS (
 SELECT doc_id, {total} AS simhash FROM h"""
 
 
+def oracle_simhash_pairs(radius: int = 3, max_bucket: int = 64) -> str:
+    hashes, total = dedup.simhash_fragments("text", "duckdb")
+    nb = dedup.SIMHASH_BLOCKS
+    bits = dedup.SIMHASH_BITS // nb
+    mask = (1 << bits) - 1
+    return f"""
+WITH h AS (
+  SELECT doc_id, {hashes} AS __h, len({hashes}) AS __n FROM documents
+),
+s AS (SELECT doc_id, {total} AS simhash FROM h),
+b AS (
+  SELECT doc_id, simhash, blk, val FROM (
+    SELECT doc_id, simhash, r.i AS blk, (simhash >> (r.i * {bits})) & {mask} AS val,
+           count(*) OVER (PARTITION BY r.i, (simhash >> (r.i * {bits})) & {mask}) AS bn
+    FROM s, range(0, {nb}) r(i)
+  ) WHERE bn <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa, c.doc_id AS id_b, c.simhash AS sb
+  FROM b a JOIN b c ON a.blk = c.blk AND a.val = c.val AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {radius}"""
+
+
 def oracle_cosine_topk() -> str:
     return f"""
 WITH sims AS (
@@ -357,6 +386,7 @@ def registry() -> dict:
         "dedup_minhash_lsh": (q_minhash_pairs, oracle_minhash_pairs()),
         "dedup_components": (q_dedup_components, oracle_dedup_components()),
         "simhash": (q_simhash, oracle_simhash()),
+        "simhash_pairs": (q_simhash_pairs, oracle_simhash_pairs()),
         "cosine_topk": (q_cosine_topk, oracle_cosine_topk()),
         "ann_lsh": (q_ann_lsh, oracle_ann_lsh()),
         "ann_ivf": (q_ann_ivf, oracle_ann_ivf()),
