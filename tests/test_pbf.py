@@ -91,6 +91,62 @@ def test_remaining_layers_structural(parsed):
 
 
 @needs_fixture
+def test_splittable_scan_byte_identical(spark):
+    """Blob-offset index -> >= 4 concurrent blob-range tasks; output
+    byte-identical to the single-task path (VERDICT r1 missing #1)."""
+    ranges = pbf.blob_ranges_df(spark, PBF_PATH, n_tasks=8)
+    n_parts = ranges.rdd.getNumPartitions()
+    assert n_parts >= 4, n_parts
+
+    split = pbf.read_pbf_points_layer_split(spark, PBF_PATH, n_tasks=8).toPandas()
+    single = pbf.read_pbf_points_layer(spark, PBF_PATH).toPandas()
+    split = split.sort_values("id", ignore_index=True)
+    single = single.sort_values("id", ignore_index=True)
+    assert len(split) == len(single) == 5126
+    # src_file differs only in URI form (binaryFile emits file:/...)
+    assert all(s.split("/")[-1] == PBF_PATH.split("/")[-1] for s in split["src_file"])
+    cols = [c for c in split.columns if c != "src_file"]
+    pd.testing.assert_frame_equal(split[cols], single[cols])
+
+
+@needs_fixture
+def test_blob_index_covers_file(spark):
+    idx = pbf.index_blobs(PBF_PATH)
+    assert len([b for b in idx if b[2] == "OSMData"]) >= 4  # enough split units
+    # ranges tile the file exactly: contiguous, gap-free, full coverage
+    pos = 0
+    for start, length, _bt in idx:
+        assert start == pos
+        pos += length
+    assert pos == os.path.getsize(PBF_PATH)
+    # primitives via ranged reads == primitives via the whole-file parse
+    prims = pbf.read_pbf_primitives_split(spark, PBF_PATH, n_tasks=8)
+    counts = {r["kind"]: r["n"] for r in prims.groupBy("kind").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"node": 170885, "way": 16730, "relation": 287}
+
+
+@needs_fixture
+def test_lines_layer_distributed_byte_identical(spark, parsed):
+    """Join-based distributed lines assembly == the single-machine
+    assembler, feature for feature (geometry JSON + properties)."""
+    import json
+
+    nodes, ways, _rels = parsed
+    want = {
+        f["id"]: (json.dumps(f["geometry"], separators=(",", ":")), f["properties"])
+        for f in pbf.assemble_lines(nodes, ways)
+    }
+    got_df = pbf.lines_layer_distributed(spark, PBF_PATH, n_tasks=8).toPandas()
+    got = {
+        int(r["id"]): (r["geometry"], dict(r["properties"]))
+        for _i, r in got_df.iterrows()
+    }
+    assert set(got) == set(want)
+    mismatch = [k for k in want if got[k] != want[k]]
+    assert not mismatch, (len(mismatch), mismatch[:3], got[mismatch[0]] if mismatch else None)
+
+
+@needs_fixture
 def test_read_pbf_five_layer_surface(spark):
     dfs = pbf.read_pbf(spark, PBF_PATH, layer_names=["points", "multilinestrings"])
     assert set(dfs) == {"points", "multilinestrings"}
