@@ -434,19 +434,37 @@ def assemble_multipolygons(nodes, ways, rels):
     def coords_of(wid):
         return [tuple(node_pos[r]) for r in way_refs[wid] if r in node_pos]
 
+    way_tags = {w[0]: w[2] for w in ways}
     out = []
     for rid, members, tags in rels:
         if tags.get("type") not in ("multipolygon", "boundary"):
             continue
-        outer_segs, inner_segs = [], []
+        outer_segs, inner_segs, outer_ids = [], [], []
         for kind, mid, role in members:
             if kind != "way" or mid not in way_refs:
                 continue
-            (inner_segs if role == "inner" else outer_segs).append(coords_of(mid))
+            if role == "inner":
+                inner_segs.append(coords_of(mid))
+            else:
+                outer_segs.append(coords_of(mid))
+                outer_ids.append(mid)
         outers = _stitch_rings(outer_segs)
         inners = _stitch_rings(inner_segs)
         if not outers:
             continue
+        # old-style multipolygon (GDAL OSM driver / osm2pgsql rule): a
+        # multipolygon relation carrying no tags beyond 'type' inherits
+        # its attributes from the outer ways (member order, first value
+        # per key wins).  Inert on the Rutland fixture (0 such
+        # relations) — pinned by a crafted-PBF test instead.
+        if tags.get("type") == "multipolygon" and not any(
+            k != "type" and k not in OTHER_TAGS_IGNORE for k in tags
+        ):
+            inherited = dict(tags)
+            for mid in outer_ids:
+                for k, v in way_tags.get(mid, {}).items():
+                    inherited.setdefault(k, v)
+            tags = inherited
         polys = []
         for o in outers:
             oarr = np.array(o, dtype=np.float64)
