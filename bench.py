@@ -124,6 +124,15 @@ def run_suite(spark, sf_dir: str):
             spark, extract.extract_mentions(web), synth.places_df(spark), k=3
         ).count(),
     )
+    # what a user gets: knn_auto dispatches the 60-place side to the
+    # broadcast-NLJ brute force (strictly better below ~4k places);
+    # knn_cell above measures the large-place-side scale path explicitly
+    timed(
+        "knn_auto",
+        lambda: knn_ops.knn_auto(
+            spark, extract.extract_mentions(web), synth.places_df(spark), k=3
+        ).count(),
+    )
 
     def _rast_vec():
         r = tiling.rasterize(extract.extract_mentions(web), Q.RASTER_CELL)

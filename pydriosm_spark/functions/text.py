@@ -90,6 +90,21 @@ def langid_agg(df, key: str = "doc_id", text: str = "text", out: str = "lang_pre
     return wide.select(key, F.expr(case).alias(out))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other symbols —
+#: the GPT-2-style pre-split shape (letters / numbers / punctuation),
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_sql(text: str, dialect: str) -> str:
+    """Count of BPE-ish pre-tokens (the token-budget estimator a training
+    pipeline runs over every document)."""
+    if dialect == "spark":
+        # Spark SQL string literals process backslash escapes; DuckDB's don't
+        return f"size(regexp_extract_all({text}, '{BPE_PATTERN.replace(chr(92), chr(92) * 2)}', 0))"
+    return f"len(regexp_extract_all({text}, '{BPE_PATTERN}'))"
+
+
 def fingerprint_sql(text: str, dialect: str) -> str:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text (the reference's deterministic-key idea — pickle keys derived

@@ -212,6 +212,20 @@ def _rerank(
     )
 
 
+def multiprobe(buckets: DataFrame, n_flips: int = N_PLANES) -> DataFrame:
+    """Query-side multi-probe expansion: each (table, bucket) also probes
+    the ``n_flips`` single-bit-flip neighbor buckets — the standard
+    multi-probe LSH recall lift (a near-dup pair collides if any table's
+    signatures are within Hamming distance 1, not only equal).  Index
+    side stays single-bucket, so the join fan-out is query-side only."""
+    flips = F.array(
+        F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(n_flips)]
+    )
+    return buckets.select(
+        buckets.columns[0], "table", F.explode(flips).alias("bucket")
+    )
+
+
 def cosine_topk_lsh(
     spark: SparkSession,
     emb: DataFrame,
@@ -220,10 +234,11 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k via LSH candidates + exact re-rank (approximate,
-    recall-gated; fully SQL-oracled via integer quantization)."""
+    """ANN top-k via multi-probe LSH candidates + exact re-rank
+    (approximate, recall-gated; fully SQL-oracled via integer
+    quantization)."""
     b = lsh_buckets(emb, dim, id_col, vec_col)
-    a = b.select(F.col(id_col).alias("qid"), "table", "bucket")
+    a = multiprobe(b).select(F.col(id_col).alias("qid"), "table", "bucket")
     c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
     cand = (
         a.join(c, ["table", "bucket"])
@@ -232,6 +247,43 @@ def cosine_topk_lsh(
         .distinct()
     )
     return _rerank(cand, quantized(emb, id_col, vec_col), k, id_col)
+
+
+def embedding_dedup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    dim: int,
+    sim_e6_min: int = 400_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket candidates
+    (any-table collision) -> exact quantized-cosine verify -> pairs with
+    ``floor(sim * 1e6) >= sim_e6_min`` as (id_a, id_b, sim_e6), id_a <
+    id_b.  The near-dup analogue of MinHash for the embedding modality:
+    one bucket equi-join, verification touches candidates only.
+    Approximate by construction (a true near-dup at cosine ~1 collides
+    in every table; recall decays toward the threshold) — the DuckDB
+    oracle mirrors the same candidate generation, so the gate is exact."""
+    b = lsh_buckets(emb, dim, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("qid"), "table", "bucket")
+    c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
+    cand = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    emb_q = quantized(emb, id_col, vec_col)
+    qv = emb_q.select(F.col(id_col).alias("qid"), F.col("qv").alias("qa"))
+    nv = emb_q.select(F.col(id_col).alias("nid"), F.col("qv").alias("qb"))
+    return (
+        cand.join(qv, "qid")
+        .join(nv, "nid")
+        .withColumn("sim_e6", F.floor(_qcosine()(F.col("qa"), F.col("qb")) * 1e6).cast("long"))
+        .filter(F.col("sim_e6") >= sim_e6_min)
+        .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim_e6")
+    )
 
 
 def kmeans_fit(

@@ -40,6 +40,17 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.langid_agg(_docs(spark, sf_dir))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens + BPE-ish pre-tokens per doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST({T.ntokens_sql('text', 'spark')} AS BIGINT)").alias("n_ws_tokens"),
+        F.expr(f"CAST({T.bpe_token_count_sql('text', 'spark')} AS BIGINT)").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", F.expr(T.fingerprint_sql("text", "spark")).alias("fp")
@@ -88,6 +99,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DEDUP_SIM_E6 = 400_000
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidates + exact verify)."""
+    return similarity.embedding_dedup_pairs(
+        spark, _emb(spark, sf_dir), dim=DIM, sim_e6_min=EMB_DEDUP_SIM_E6
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(spark, _emb(spark, sf_dir), k=TOPK)
 
@@ -117,6 +138,14 @@ def oracle_quality() -> str:
 
 def oracle_langid() -> str:
     return f"SELECT doc_id, {T.langid_sql('text', 'duckdb')} AS lang_pred FROM documents"
+
+
+def oracle_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CAST({T.ntokens_sql('text', 'duckdb')} AS BIGINT) AS n_ws_tokens,
+       CAST({T.bpe_token_count_sql('text', 'duckdb')} AS BIGINT) AS n_bpe_tokens
+FROM documents"""
 
 
 def oracle_fingerprint() -> str:
@@ -288,15 +317,21 @@ def oracle_ann_lsh() -> str:
     packs = ", ".join(
         f"struct_pack(t := {t}, bucket := {e})" for t, e in enumerate(_lsh_bucket_exprs())
     )
+    flips = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(similarity.N_PLANES)]
+    )
     return f"""
 WITH e AS (SELECT vec_id, {qz} AS qv FROM embeddings),
 b AS (
   SELECT vec_id, u.s.t AS tbl, u.s.bucket AS bucket
   FROM (SELECT vec_id, [{packs}] AS bl FROM e), unnest(bl) u(s)
 ),
+p AS (
+  SELECT vec_id, tbl, unnest([{flips}]) AS bucket FROM b
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid
-  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  FROM p a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
 ),
 rr AS (
   SELECT cand.qid, cand.nid, {similarity.qcosine_sql('ea.qv', 'eb.qv')} AS sim
@@ -306,6 +341,27 @@ SELECT qid AS vec_id,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS BIGINT) AS rank,
        nid AS neighbor_id
 FROM rr QUALIFY rank <= {TOPK}"""
+
+
+def oracle_dedup_embedding() -> str:
+    qz = similarity.quantize_sql("embedding", "duckdb")
+    packs = ", ".join(
+        f"struct_pack(t := {t}, bucket := {e})" for t, e in enumerate(_lsh_bucket_exprs())
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {qz} AS qv FROM embeddings),
+b AS (
+  SELECT vec_id, u.s.t AS tbl, u.s.bucket AS bucket
+  FROM (SELECT vec_id, [{packs}] AS bl FROM e), unnest(bl) u(s)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(floor({similarity.qcosine_sql('ea.qv', 'eb.qv')} * 1e6) AS BIGINT) AS sim_e6
+FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+WHERE floor({similarity.qcosine_sql('ea.qv', 'eb.qv')} * 1e6) >= {EMB_DEDUP_SIM_E6}"""
 
 
 def _ivf_assign_cte(name: str, cents: str) -> str:
@@ -382,12 +438,14 @@ def registry() -> dict:
         "text_quality": (q_quality, oracle_quality()),
         "langid": (q_langid, oracle_langid()),
         "fingerprint": (q_fingerprint, oracle_fingerprint()),
+        "token_counts": (q_token_counts, oracle_token_counts()),
         "dedup_exact": (q_dedup_exact, oracle_dedup_exact()),
         "dedup_minhash_lsh": (q_minhash_pairs, oracle_minhash_pairs()),
         "dedup_components": (q_dedup_components, oracle_dedup_components()),
         "simhash": (q_simhash, oracle_simhash()),
         "simhash_pairs": (q_simhash_pairs, oracle_simhash_pairs()),
         "cosine_topk": (q_cosine_topk, oracle_cosine_topk()),
+        "dedup_embedding": (q_dedup_embedding, oracle_dedup_embedding()),
         "ann_lsh": (q_ann_lsh, oracle_ann_lsh()),
         "ann_ivf": (q_ann_ivf, oracle_ann_ivf()),
     }

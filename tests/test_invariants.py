@@ -65,7 +65,7 @@ def test_ann_recall_floor(spark):
     exact = _canon(Q.registry()["cosine_topk"][0](spark, SF_SMOKE))
     e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
     recalls = {}
-    for name, floor in (("ann_lsh", 0.15), ("ann_ivf", 0.30)):
+    for name, floor in (("ann_lsh", 0.40), ("ann_ivf", 0.50)):
         approx = _canon(Q.registry()[name][0](spark, SF_SMOKE))
         a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
         recalls[name] = len(e & a) / len(e)
