@@ -61,6 +61,30 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert set(lineage["committed_at_run"]) == {"r1", "r2"}
 
 
+def test_checkpoint_batched_commits_resume(spark, tmp_path):
+    """batch_size > 1: one Spark job per batch of partitions, identical
+    resume semantics (crash between batches, clean-run-equal end state)."""
+    from pyspark.sql import functions as F
+
+    m = extract.extract_mentions(synth.webpages(spark, SF_SMOKE)).withColumn(
+        "part", F.col("doc_id") % 8
+    )
+    ck = PartitionedCheckpoint(str(tmp_path / "ckpt_b"), "part")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ck.run(m, run_id="r1", fail_after=3, batch_size=3)
+    assert len(ck.committed()) == 3
+    n_parts = m.select("part").distinct().count()
+    res = ck.run(m, run_id="r2", batch_size=3)
+    assert len(res.written_partitions) == n_parts - 3
+    assert len(res.skipped_partitions) == 3
+
+    want = _canon(m.drop("part"))
+    got = _canon(ck.read(spark).drop("part"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    lineage = ck.lineage(spark).toPandas()
+    assert int(lineage["rows"].sum()) == len(want)
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     import shutil
 
