@@ -45,6 +45,44 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert len(got) >= 0.5 * len(want_all), (len(got), len(want_all))
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming first-seen dedup emits exactly one row per key and the
+    key set equals the batch distinct (ingestion-side exact dedup)."""
+    import shutil
+
+    from pydriosm_spark.streaming.dedup import dedup_first_seen
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-0.parquet")
+    schema = spark.read.parquet(str(events_dir)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(events_dir))
+    )
+    q = (
+        dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select user_id, event_type from dedup_t").toPandas()
+    assert not got.duplicated().any()
+    want = (
+        spark.read.parquet(str(events_dir))
+        .select("user_id", "event_type")
+        .distinct()
+        .toPandas()
+    )
+    key = ["user_id", "event_type"]
+    assert set(map(tuple, got[key].itertuples(index=False))) == set(
+        map(tuple, want[key].itertuples(index=False))
+    )
+
+
 def test_shape_to_wkt():
     assert shape_to_wkt(1, [(1.0, 2.0)]) == "POINT (1 2)"
     assert shape_to_wkt(3, [(0, 0), (1, 1)], []) == "LINESTRING (0 0, 1 1)"
