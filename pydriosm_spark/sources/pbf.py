@@ -363,6 +363,21 @@ def assemble_lines(nodes, ways):
     return out
 
 
+def mls_feature(rid: int, tags: dict, member_way_coords: list) -> dict | None:
+    """One route/multilinestring relation -> feature (or None).
+    ``member_way_coords``: per way member present in the file, its
+    locatable-node coords (member order)."""
+    lines = [c for c in member_way_coords if len(c) >= 2]
+    if not lines:
+        return None
+    return {
+        "type": "Feature",
+        "geometry": {"type": "MultiLineString", "coordinates": lines},
+        "properties": _props("osm_id", rid, tags, MLS_ATTRS),
+        "id": rid,
+    }
+
+
 def assemble_multilinestrings(nodes, ways, rels):
     """'multilinestrings' layer: route/multilinestring relations ->
     MultiLineString over resolvable member ways."""
@@ -372,22 +387,14 @@ def assemble_multilinestrings(nodes, ways, rels):
     for rid, members, tags in rels:
         if tags.get("type") not in ("route", "multilinestring"):
             continue
-        lines = []
-        for kind, mid, _role in members:
-            if kind == "way" and mid in way_refs:
-                coords = [list(node_pos[r]) for r in way_refs[mid] if r in node_pos]
-                if len(coords) >= 2:
-                    lines.append(coords)
-        if not lines:
-            continue
-        out.append(
-            {
-                "type": "Feature",
-                "geometry": {"type": "MultiLineString", "coordinates": lines},
-                "properties": _props("osm_id", rid, tags, MLS_ATTRS),
-                "id": rid,
-            }
-        )
+        coords = [
+            [list(node_pos[r]) for r in way_refs[mid] if r in node_pos]
+            for kind, mid, _role in members
+            if kind == "way" and mid in way_refs
+        ]
+        f = mls_feature(rid, tags, coords)
+        if f is not None:
+            out.append(f)
     out.sort(key=lambda f: f["id"])
     return out
 
@@ -421,13 +428,87 @@ def _stitch_rings(segments: list) -> list:
     return rings
 
 
+def mpoly_rel_feature(
+    rid: int, tags: dict, outer_segs: list, inner_segs: list, outer_way_tags: list
+) -> dict | None:
+    """One multipolygon/boundary relation -> feature (or None).
+    ``outer_segs``/``inner_segs``: member-order way coordinate segments
+    (tuples); ``outer_way_tags``: the outer member ways' tag dicts
+    (member order) for old-style inheritance."""
+    from pydriosm_spark.geometry.ops import points_in_polygon
+
+    outers = _stitch_rings(outer_segs)
+    inners = _stitch_rings(inner_segs)
+    if not outers:
+        return None
+    # old-style multipolygon (GDAL OSM driver / osm2pgsql rule): a
+    # multipolygon relation carrying no tags beyond 'type' inherits its
+    # attributes from the outer ways (member order, first value per key
+    # wins).  Inert on the Rutland fixture (0 such relations) — pinned
+    # by a crafted-PBF test instead.
+    if tags.get("type") == "multipolygon" and not any(
+        k != "type" and k not in OTHER_TAGS_IGNORE for k in tags
+    ):
+        inherited = dict(tags)
+        for wt in outer_way_tags:
+            for k, v in (wt or {}).items():
+                inherited.setdefault(k, v)
+        tags = inherited
+    polys = []
+    for o in outers:
+        oarr = np.array(o, dtype=np.float64)
+        rings = [[list(p) for p in o]]
+        for i in inners:
+            px, py = i[0]
+            if points_in_polygon(np.array([px]), np.array([py]), [oarr])[0]:
+                rings.append([list(p) for p in i])
+        polys.append(rings)
+    return {
+        "type": "Feature",
+        "geometry": {"type": "MultiPolygon", "coordinates": polys},
+        "properties": _props("osm_id", rid, tags, MPOLY_ATTRS),
+        "id": rid,
+    }
+
+
+def mpoly_way_feature(wid: int, coords: list, tags: dict) -> dict | None:
+    """One standalone polygon-classified way -> feature (osm_way_id,
+    GDAL convention); caller applies ``way_is_polygon`` + significance."""
+    if len(coords) < 4:
+        return None
+    return {
+        "type": "Feature",
+        "geometry": {"type": "MultiPolygon", "coordinates": [[coords]]},
+        "properties": _props("osm_way_id", wid, tags, MPOLY_ATTRS),
+        "id": wid,
+    }
+
+
+def other_rel_feature(rid: int, tags: dict, geoms: list) -> dict | None:
+    """One generic relation -> GeometryCollection feature (or None).
+    ``geoms``: resolvable member geometries in member order."""
+    if not geoms:
+        return None
+    rest = {k: v for k, v in tags.items() if k not in OTHER_TAGS_IGNORE}
+    props = {"osm_id": str(rid)}
+    for a in RELATION_ATTRS:
+        props[a] = rest.pop(a, None)
+    props["other_tags"] = (
+        ",".join(f'"{_hstore_escape(k)}"=>"{_hstore_escape(v)}"' for k, v in rest.items())
+        or None
+    )
+    return {
+        "type": "Feature",
+        "geometry": {"type": "GeometryCollection", "geometries": geoms},
+        "properties": props,
+        "id": rid,
+    }
+
+
 def assemble_multipolygons(nodes, ways, rels):
     """'multipolygons' layer: (a) multipolygon/boundary relations with
     outer/inner ring stitching; (b) standalone closed polygon ways
     (emitted with osm_way_id, GDAL convention)."""
-    from pydriosm_spark.geometry.ops import points_in_polygon
-    import numpy as np
-
     node_pos = {n[0]: (n[2], n[1]) for n in nodes}
     way_refs = {w[0]: w[1] for w in ways}
 
@@ -439,7 +520,7 @@ def assemble_multipolygons(nodes, ways, rels):
     for rid, members, tags in rels:
         if tags.get("type") not in ("multipolygon", "boundary"):
             continue
-        outer_segs, inner_segs, outer_ids = [], [], []
+        outer_segs, inner_segs, outer_tags = [], [], []
         for kind, mid, role in members:
             if kind != "way" or mid not in way_refs:
                 continue
@@ -447,57 +528,18 @@ def assemble_multipolygons(nodes, ways, rels):
                 inner_segs.append(coords_of(mid))
             else:
                 outer_segs.append(coords_of(mid))
-                outer_ids.append(mid)
-        outers = _stitch_rings(outer_segs)
-        inners = _stitch_rings(inner_segs)
-        if not outers:
-            continue
-        # old-style multipolygon (GDAL OSM driver / osm2pgsql rule): a
-        # multipolygon relation carrying no tags beyond 'type' inherits
-        # its attributes from the outer ways (member order, first value
-        # per key wins).  Inert on the Rutland fixture (0 such
-        # relations) — pinned by a crafted-PBF test instead.
-        if tags.get("type") == "multipolygon" and not any(
-            k != "type" and k not in OTHER_TAGS_IGNORE for k in tags
-        ):
-            inherited = dict(tags)
-            for mid in outer_ids:
-                for k, v in way_tags.get(mid, {}).items():
-                    inherited.setdefault(k, v)
-            tags = inherited
-        polys = []
-        for o in outers:
-            oarr = np.array(o, dtype=np.float64)
-            rings = [[list(p) for p in o]]
-            for i in inners:
-                px, py = i[0]
-                if points_in_polygon(np.array([px]), np.array([py]), [oarr])[0]:
-                    rings.append([list(p) for p in i])
-            polys.append(rings)
-        out.append(
-            {
-                "type": "Feature",
-                "geometry": {"type": "MultiPolygon", "coordinates": polys},
-                "properties": _props("osm_id", rid, tags, MPOLY_ATTRS),
-                "id": rid,
-            }
-        )
+                outer_tags.append(way_tags.get(mid, {}))
+        f = mpoly_rel_feature(rid, tags, outer_segs, inner_segs, outer_tags)
+        if f is not None:
+            out.append(f)
     for wid, refs, tags in ways:
         if not way_is_polygon(refs, tags):
             continue
         if not any(k not in SIG_IGNORE for k in tags):
             continue
-        coords = [list(node_pos[r]) for r in refs if r in node_pos]
-        if len(coords) < 4:
-            continue
-        out.append(
-            {
-                "type": "Feature",
-                "geometry": {"type": "MultiPolygon", "coordinates": [[coords]]},
-                "properties": _props("osm_way_id", wid, tags, MPOLY_ATTRS),
-                "id": wid,
-            }
-        )
+        f = mpoly_way_feature(wid, [list(node_pos[r]) for r in refs if r in node_pos], tags)
+        if f is not None:
+            out.append(f)
     out.sort(key=lambda f: (f["id"], "osm_way_id" in f["properties"]))
     return out
 
@@ -523,24 +565,9 @@ def assemble_other_relations(nodes, ways, rels):
             elif kind == "way" and mid in way_refs:
                 coords = [list(node_pos[r]) for r in way_refs[mid] if r in node_pos]
                 geoms.append({"type": "LineString", "coordinates": coords})
-        if not geoms:
-            continue
-        rest = {k: v for k, v in tags.items() if k not in OTHER_TAGS_IGNORE}
-        props = {"osm_id": str(rid)}
-        for a in RELATION_ATTRS:
-            props[a] = rest.pop(a, None)
-        props["other_tags"] = (
-            ",".join(f'"{_hstore_escape(k)}"=>"{_hstore_escape(v)}"' for k, v in rest.items())
-            or None
-        )
-        out.append(
-            {
-                "type": "Feature",
-                "geometry": {"type": "GeometryCollection", "geometries": geoms},
-                "properties": props,
-                "id": rid,
-            }
-        )
+        f = other_rel_feature(rid, tags, geoms)
+        if f is not None:
+            out.append(f)
     out.sort(key=lambda f: f["id"])
     return out
 
@@ -799,6 +826,185 @@ def lines_layer_distributed(
             yield pd.DataFrame(rows, columns=["id", "geometry", "properties", "src_file"])
 
     return grouped.mapInPandas(build, schema)
+
+
+def _ways_coords_tags(prims: DataFrame) -> DataFrame:
+    """(id, refs, tags, wpts, src_file): every way with its locatable-node
+    coordinates resolved DISTRIBUTED — posexplode refs, equi-join nodes
+    (the shuffle that replaces the single-machine node_pos dict), regroup
+    in ref order.  Ways whose refs resolve to nothing keep wpts = null
+    (presence still matters: tag inheritance, empty LineStrings)."""
+    nodes = prims.filter(F.col("kind") == "node").select(
+        F.col("id").alias("ref"), "lon", "lat"
+    )
+    ways = prims.filter(F.col("kind") == "way").select("id", "refs", "tags", "src_file")
+    expl = ways.select("id", F.posexplode("refs").alias("pos", "ref"))
+    wcoords = (
+        expl.join(nodes, "ref")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "lon", "lat"))).alias("wpts"))
+    )
+    return ways.join(wcoords, "id", "left")
+
+
+def relation_layers_distributed(
+    spark: SparkSession, path: str, n_tasks: int | None = None
+) -> DataFrame:
+    """multilinestrings + multipolygons + other_relations assembled with
+    the plan that scales: member explode -> equi-joins against resolved
+    ways / nodes -> per-relation regroup -> the SAME per-feature builders
+    the single-machine assemblers use (mls_feature / mpoly_rel_feature /
+    mpoly_way_feature / other_rel_feature), so semantics are identical by
+    construction and verified feature-for-feature on Rutland.
+
+    Returns one DataFrame (layer, id, geometry, properties, src_file);
+    filter on ``layer``.  Only per-relation data ever co-locates — no
+    whole-file dict on any single task."""
+    import json
+    from typing import Iterator
+
+    prims = read_pbf_primitives_split(spark, path, n_tasks)
+    ways_ct = _ways_coords_tags(prims)
+    nodes = prims.filter(F.col("kind") == "node").select("id", "lon", "lat")
+
+    rels = prims.filter(F.col("kind") == "relation").select(
+        F.col("id").alias("rid"), "tags", "mtypes", "mids", "roles", "src_file"
+    )
+    mem = rels.select(
+        "rid",
+        "tags",
+        "src_file",
+        F.posexplode(F.arrays_zip("mtypes", "mids", "roles")).alias("pos", "m"),
+    ).select(
+        "rid",
+        "tags",
+        "src_file",
+        "pos",
+        F.col("m.mtypes").alias("mtype"),
+        F.col("m.mids").alias("mid"),
+        F.col("m.roles").alias("role"),
+    ).filter(F.col("mtype") != "relation")  # relation members are ignored everywhere
+
+    mw = mem.filter(F.col("mtype") == "way").join(
+        ways_ct.select(
+            F.col("id").alias("mid"),
+            F.col("tags").alias("wtags"),
+            "wpts",
+            F.lit(True).alias("wpresent"),
+        ),
+        "mid",
+        "left",
+    )
+    mn = mem.filter(F.col("mtype") == "node").join(
+        nodes.select(
+            F.col("id").alias("mid"),
+            F.col("lon").alias("nlon"),
+            F.col("lat").alias("nlat"),
+        ),
+        "mid",
+        "left",
+    )
+    both = mw.unionByName(mn, allowMissingColumns=True)
+    grouped = both.groupBy("rid").agg(
+        F.first("tags").alias("rtags"),
+        F.first("src_file").alias("src_file"),
+        # sort_array cannot order structs containing a map (wtags);
+        # member order is restored in the kernel via the pos field
+        F.collect_list(
+            F.struct(
+                "pos", "mtype", "role", "wpresent", "wpts", "wtags", "nlon", "nlat"
+            )
+        ).alias("ms"),
+    )
+
+    schema = "layer string, id long, geometry string, properties map<string,string>, src_file string"
+
+    def _coords(wpts) -> list:
+        return [[float(p["lon"]), float(p["lat"])] for p in (wpts if wpts is not None else [])]
+
+    def build_rels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rid, rtags, src, ms in zip(b["rid"], b["rtags"], b["src_file"], b["ms"]):
+                ms = sorted(ms, key=lambda m: m["pos"])
+                tags = dict(rtags)
+                t = tags.get("type")
+                if t in ("route", "multilinestring"):
+                    coords = [
+                        _coords(m["wpts"])
+                        for m in ms
+                        if m["mtype"] == "way" and m["wpresent"]
+                    ]
+                    f, layer = mls_feature(int(rid), tags, coords), "multilinestrings"
+                elif t in ("multipolygon", "boundary"):
+                    outer_segs, inner_segs, outer_tags = [], [], []
+                    for m in ms:
+                        if m["mtype"] != "way" or not m["wpresent"]:
+                            continue
+                        seg = [tuple(p) for p in _coords(m["wpts"])]
+                        if m["role"] == "inner":
+                            inner_segs.append(seg)
+                        else:
+                            outer_segs.append(seg)
+                            outer_tags.append(dict(m["wtags"] or {}))
+                    f = mpoly_rel_feature(int(rid), tags, outer_segs, inner_segs, outer_tags)
+                    layer = "multipolygons"
+                else:
+                    geoms = []
+                    for m in ms:
+                        if m["mtype"] == "node" and m["nlon"] is not None:
+                            geoms.append(
+                                {"type": "Point", "coordinates": [float(m["nlon"]), float(m["nlat"])]}
+                            )
+                        elif m["mtype"] == "way" and m["wpresent"]:
+                            geoms.append(
+                                {"type": "LineString", "coordinates": _coords(m["wpts"])}
+                            )
+                    f, layer = other_rel_feature(int(rid), tags, geoms), "other_relations"
+                if f is not None:
+                    rows.append(
+                        (
+                            layer,
+                            f["id"],
+                            json.dumps(f["geometry"], separators=(",", ":")),
+                            f["properties"],
+                            src,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["layer", "id", "geometry", "properties", "src_file"]
+            )
+
+    def build_way_polys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for wid, refs, tags, wpts, src in zip(
+                b["id"], b["refs"], b["tags"], b["wpts"], b["src_file"]
+            ):
+                tags = dict(tags)
+                refs = list(refs)
+                if not way_is_polygon(refs, tags):
+                    continue
+                if not any(k not in SIG_IGNORE for k in tags):
+                    continue
+                f = mpoly_way_feature(int(wid), _coords(wpts), tags)
+                if f is not None:
+                    rows.append(
+                        (
+                            "multipolygons",
+                            f["id"],
+                            json.dumps(f["geometry"], separators=(",", ":")),
+                            f["properties"],
+                            src,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["layer", "id", "geometry", "properties", "src_file"]
+            )
+
+    return grouped.mapInPandas(build_rels, schema).unionByName(
+        ways_ct.mapInPandas(build_way_polys, schema)
+    )
 
 
 def read_pbf_points_layer(spark: SparkSession, path: str) -> DataFrame:

@@ -147,6 +147,41 @@ def test_lines_layer_distributed_byte_identical(spark, parsed):
 
 
 @needs_fixture
+def test_relation_layers_distributed_byte_identical(spark, parsed):
+    """The join-based distributed assembly of multilinestrings /
+    multipolygons / other_relations equals the single-machine
+    assemblers feature-for-feature on the full Rutland extract."""
+    import json
+
+    nodes, ways, rels = parsed
+    singles = {
+        "multilinestrings": pbf.assemble_multilinestrings(nodes, ways, rels),
+        "multipolygons": pbf.assemble_multipolygons(nodes, ways, rels),
+        "other_relations": pbf.assemble_other_relations(nodes, ways, rels),
+    }
+    dist = pbf.relation_layers_distributed(spark, PBF_PATH, n_tasks=8).toPandas()
+    for layer, feats in singles.items():
+        want = {
+            (f["id"], "osm_way_id" in f["properties"]): (
+                json.dumps(f["geometry"], separators=(",", ":")),
+                f["properties"],
+            )
+            for f in feats
+        }
+        sub = dist[dist["layer"] == layer]
+        got = {
+            (int(r["id"]), "osm_way_id" in dict(r["properties"])): (
+                r["geometry"],
+                dict(r["properties"]),
+            )
+            for _i, r in sub.iterrows()
+        }
+        assert set(got) == set(want), (layer, len(got), len(want))
+        mismatch = [k for k in want if got[k] != want[k]]
+        assert not mismatch, (layer, len(mismatch), mismatch[:2])
+
+
+@needs_fixture
 def test_read_pbf_five_layer_surface(spark):
     dfs = pbf.read_pbf(spark, PBF_PATH, layer_names=["points", "multilinestrings"])
     assert set(dfs) == {"points", "multilinestrings"}
