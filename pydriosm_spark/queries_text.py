@@ -57,6 +57,21 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-3-gram-shingle sketch over the corpus, alongside the
+    exact distinct count (the estimate is deterministic, hence oracled;
+    the corpus has thousands of distinct shingles, so the k-th-minimum
+    estimator branch — not the exact small-set branch — is exercised)."""
+    from pydriosm_spark.operators.sketch import kmv_distinct_estimate
+
+    sh = dedup._shingles(_docs(spark, sf_dir)).select(
+        F.explode("shingles").alias("s")
+    )
+    est = kmv_distinct_estimate(sh, "s", k=256)
+    exact = sh.agg(F.countDistinct("s").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the md5 of the first-3-token prefix (guarantees
     real duplicate groups in the synthetic corpus)."""
@@ -150,6 +165,22 @@ FROM documents"""
 
 def oracle_fingerprint() -> str:
     return f"SELECT doc_id, {T.fingerprint_sql('text', 'duckdb')} AS fp FROM documents"
+
+
+def oracle_sketch_kmv(k: int = 256) -> str:
+    from pydriosm_spark.operators.sketch import HASH_RANGE, hash30_sql
+
+    h = hash30_sql("s", "duckdb")
+    return f"""
+WITH {_duck_shingles_cte().strip()},
+hs AS (SELECT DISTINCT {h} AS h FROM shingles),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT {k}),
+a AS (SELECT count(*) AS n, max(h) AS kth FROM topk)
+SELECT CAST({k} AS BIGINT) AS k, CAST(kth AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN n < {k} THEN n
+            ELSE {(k - 1) * HASH_RANGE} // kth END AS BIGINT) AS est_distinct,
+       (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM shingles) AS exact_distinct
+FROM a"""
 
 
 def oracle_dedup_exact() -> str:
@@ -439,6 +470,7 @@ def registry() -> dict:
         "langid": (q_langid, oracle_langid()),
         "fingerprint": (q_fingerprint, oracle_fingerprint()),
         "token_counts": (q_token_counts, oracle_token_counts()),
+        "sketch_kmv": (q_sketch_kmv, oracle_sketch_kmv()),
         "dedup_exact": (q_dedup_exact, oracle_dedup_exact()),
         "dedup_minhash_lsh": (q_minhash_pairs, oracle_minhash_pairs()),
         "dedup_components": (q_dedup_components, oracle_dedup_components()),
