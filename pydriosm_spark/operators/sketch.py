@@ -35,6 +35,72 @@ def hash30_sql(value: str, dialect: str) -> str:
     return f"((('0x' || substr(md5({value}), 1, 15))::BIGINT) >> {HASH_BITS})"
 
 
+def sampled_quantiles(
+    df: DataFrame,
+    value_sql: str,
+    key_sql: str,
+    qs_permille: tuple = (500, 900, 990),
+    k: int = 2048,
+) -> DataFrame:
+    """Quantile estimation over a deterministic bottom-k-by-hash sample.
+
+    The bottom-k rows by a uniform hash ARE a uniform random sample, so
+    exact quantiles over them estimate the population quantiles with
+    ~1/sqrt(k) error — and unlike t-digest/GK sketches the whole
+    computation is engine-reproducible (hash, distinct, order, limit,
+    row_number are all deterministic), so the ESTIMATES carry a DuckDB
+    oracle.  Returns (q_permille, value) rows.
+
+    ``value_sql``: integer-valued SQL expression to take quantiles of;
+    ``key_sql``: SQL expression identifying a row (hashed for sampling).
+    Duplicate (hash, value) pairs collapse via DISTINCT — required for a
+    cross-engine-deterministic LIMIT (no ties at the boundary)."""
+    h = hash30_sql(key_sql, "spark")
+    samp = (
+        df.select(F.expr(h).alias("h"), F.expr(value_sql).cast("long").alias("v"))
+        .distinct()
+        .orderBy("h", "v")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    ranked = samp.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("v").asc(), F.col("h").asc()))
+    )
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(q, (q * k + 999) // 1000) for q in qs_permille], "q_permille long, rank int"
+    )
+    return targets.join(ranked, "rank").select(
+        "q_permille", F.col("v").alias("value")
+    )
+
+
+def quantile_oracle_sql(
+    table_sql: str,
+    value_sql: str,
+    key_sql: str,
+    qs_permille: tuple = (500, 900, 990),
+    k: int = 2048,
+) -> str:
+    """DuckDB mirror of :func:`sampled_quantiles` over ``table_sql``
+    (a FROM-able relation)."""
+    h = hash30_sql(key_sql, "duckdb")
+    targets = ", ".join(f"({q}, {(q * k + 999) // 1000})" for q in qs_permille)
+    return f"""
+WITH samp AS (
+  SELECT h, v FROM (
+    SELECT DISTINCT {h} AS h, CAST({value_sql} AS BIGINT) AS v FROM {table_sql}
+  ) ORDER BY h, v LIMIT {k}
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v ASC, h ASC) AS rank FROM samp
+),
+targets(q_permille, rank) AS (VALUES {targets})
+SELECT CAST(t.q_permille AS BIGINT) AS q_permille, r.v AS value
+FROM targets t JOIN ranked r ON r.rank = t.rank"""
+
+
 def kmv_distinct_estimate(values: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     """One-row DataFrame (k, kth_hash, est_distinct) estimating the
     number of distinct ``value_col`` values.  All-integer arithmetic:

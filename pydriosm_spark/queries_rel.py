@@ -280,6 +280,82 @@ FROM lefts l
 ASOF LEFT JOIN rights r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event-type counts as columns."""
+    e = _t(spark, sf_dir, "events")
+    out = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    # pivot count yields NULL for absent combos; the wide contract is 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def oracle_pivot() -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id"""
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window: each event's trailing-1-hour per-user event
+    count and value sum (RANGE BETWEEN interval — the window box beyond
+    row_number/rank)."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("sum_value_c_1h"),
+    )
+
+
+def oracle_rolling() -> str:
+    return """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_value_c_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
+
+_Q_VALUE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_Q_KEY = (
+    "concat_ws(':', l_orderkey, l_linenumber, l_partkey, "
+    "CAST(round(l_extendedprice * 100) AS BIGINT))"
+)
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem price (cents) estimated from a
+    deterministic bottom-k-by-hash sample — engine-reproducible quantile
+    sketching (see operators/sketch.py)."""
+    from pydriosm_spark.operators.sketch import sampled_quantiles
+
+    return sampled_quantiles(_t(spark, sf_dir, "lineitem"), _Q_VALUE, _Q_KEY)
+
+
+def oracle_sketch_quantiles() -> str:
+    from pydriosm_spark.operators.sketch import quantile_oracle_sql
+
+    return quantile_oracle_sql("lineitem", _Q_VALUE, _Q_KEY)
+
+
 def registry() -> dict:
     return {
         "rel_pricing_summary": (q_pricing_summary, oracle_pricing_summary()),
@@ -291,4 +367,7 @@ def registry() -> dict:
         "rel_rollup": (q_rollup, oracle_rollup()),
         "rel_sessions": (q_sessions, oracle_sessions()),
         "rel_asof_join": (q_asof, oracle_asof()),
+        "rel_pivot": (q_pivot, oracle_pivot()),
+        "rel_rolling": (q_rolling, oracle_rolling()),
+        "sketch_quantiles": (q_sketch_quantiles, oracle_sketch_quantiles()),
     }
