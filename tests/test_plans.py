@@ -46,6 +46,55 @@ def test_flat_cover_has_no_probe_explode(spark):
     assert p.count("Generate") == 1, p
 
 
+def test_simhash_plan_is_one_hash_agg_no_hofs(spark):
+    """SimHash must stay explode + ONE partial+final hash aggregate —
+    no interpreted higher-order functions (the r1 anti-pattern)."""
+    from pydriosm_spark.operators import dedup
+
+    df = dedup.simhash_signature(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    p = _plan(df)
+    assert "HashAggregate" in p
+    for hof in ("filter(", "aggregate(", "zip_with("):
+        assert hof not in p, (hof, p[:2000])
+
+
+def test_lsh_rerank_plan_has_no_hof_dots(spark):
+    """LSH buckets/re-rank run as numpy kernels (ArrowEvalPython /
+    MapInPandas), never as interpreted aggregate(zip_with(...)) dots."""
+    from pydriosm_spark.operators import similarity
+
+    df = similarity.cosine_topk_lsh(
+        spark, spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"), dim=64
+    )
+    p = _plan(df)
+    assert "zip_with(" not in p and "aggregate(" not in p, p[:2000]
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
+def test_knn_topk_gets_window_group_limit(spark):
+    """The rank<=k filter must rewrite to WindowGroupLimit (per-group
+    top-k before the full sort) in the kNN window."""
+    from pydriosm_spark.operators import knn
+
+    m = extract.extract_mentions(synth.webpages(spark, SF_SMOKE))
+    p = _plan(knn.knn_cell(spark, m, synth.places_df(spark), k=3))
+    assert "WindowGroupLimit" in p, p[:2000]
+
+
+def test_kmv_sketch_uses_take_ordered_not_full_sort(spark):
+    """KMV's k-smallest must run as TakeOrderedAndProject (per-partition
+    top-k + merge), not a global Sort + Exchange of all hashes."""
+    from pydriosm_spark.operators.sketch import kmv_distinct_estimate
+    from pyspark.sql import functions as F
+
+    toks = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("t"))
+    )
+    p = _plan(kmv_distinct_estimate(toks, "t", k=64))
+    assert "TakeOrderedAndProject" in p, p[:2000]
+
+
 def test_pricing_summary_partial_final_agg_and_pushdown(spark):
     q = q_pricing_summary(spark, SF_SMOKE)
     p = _plan(q)
