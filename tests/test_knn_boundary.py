@@ -55,6 +55,40 @@ def test_boundary_exact_candidate_matches_bruteforce(spark, boundary_case):
     assert got[(1, 0, 2)] == (5, 25)
 
 
+def test_simhash_pairs_complete_within_radius(spark):
+    """Pigeonhole completeness: simhash_pairs must find EVERY pair whose
+    signatures are within Hamming distance 3 (brute-force verified on a
+    corpus engineered to contain near-identical docs)."""
+    from pydriosm_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    docs = [(0, base)]
+    for i in range(1, 20):
+        # small token edits => signatures within a few bits of the base
+        toks = base.split()
+        toks[i % len(toks)] = f"w{i}"
+        docs.append((i, " ".join(toks)))
+    docs += [(100 + i, f"completely different text number {i} about topic {i * 7}")
+             for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signature(df).collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df).collect()
+    }
+    assert len(want) >= 10  # the fixture genuinely contains near-dups
+    assert set(got) == want, (len(got), len(want))
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+
 def test_boundary_point_is_uncertified(spark, boundary_case):
     """The strict < must route P0 (k-th candidate exactly at R*S) through
     the fallback: with k=1 its only in-ball candidate count is 0."""
