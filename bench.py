@@ -211,8 +211,13 @@ def scaling_probe(sf_dir: str) -> dict:
         ).write.mode("overwrite").parquet(mat)
         spark.stop()
 
+    # Interleave repeats (lo, hi, hi, lo) and keep each level's best:
+    # run-to-run noise on this shared box is 2-3x and time-localized, so
+    # a single probe window can misread efficiency by 0.2+ (observed
+    # 0.615 vs 0.861 forty minutes apart).  Noise only ever slows a run,
+    # so min-per-level across interleaved repeats is the honest read.
     out = {}
-    for cpus in (SCALING_LO, SCALING_HI):
+    for cpus in (SCALING_LO, SCALING_HI, SCALING_HI, SCALING_LO):
         env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus), mat, str(SCALING_TRIALS)],
@@ -221,7 +226,12 @@ def scaling_probe(sf_dir: str) -> dict:
             env=env,
             check=True,
         )
-        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        prev = out.get(cpus)
+        if prev is not None:
+            assert prev["rows"] == res["rows"], (prev, res)
+            res["min_sec"] = min(res["min_sec"], prev["min_sec"])
+        out[cpus] = res
     lo, hi = out[SCALING_LO], out[SCALING_HI]
     assert lo["rows"] == hi["rows"], f"output mismatch across parallelism: {lo} vs {hi}"
     speedup = lo["min_sec"] / hi["min_sec"]
