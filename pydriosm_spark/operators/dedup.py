@@ -30,9 +30,17 @@ SHINGLE_K = 3
 SIMHASH_BITS = 60
 
 
-def _shingles(df: DataFrame, text: str = "text") -> DataFrame:
-    """Distinct 3-word shingles per doc (whole text as fallback when the
-    doc has < K tokens) — native higher-order exprs.
+def shingles_exploded(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """(key, s): one row per 3-word shingle OCCURRENCE (duplicates kept;
+    whole text as fallback when the doc has < K tokens) — entirely
+    whole-stage-codegen: split -> arrays_zip of three shifted slices ->
+    explode -> concat.  The previous per-doc HOF
+    ``transform(sequence(...))`` form was INTERPRETED and alone cost 4s
+    of the 10s sf0.1 minhash run.
+
+    Duplicate shingles don't affect MIN aggregation (signatures); the
+    Jaccard verify applies ``.distinct()`` after narrowing to candidate
+    docs.
 
     Small inputs (e.g. a single parquet file = one partition) are
     repartitioned to the session's parallelism first: shingling + md5
@@ -41,12 +49,23 @@ def _shingles(df: DataFrame, text: str = "text") -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, par // 2):
         df = df.repartition(par)
     toks = f"split(trim({text}), '\\\\s+')"
-    sh = (
-        f"CASE WHEN size({toks}) < {SHINGLE_K} THEN array(trim({text})) "
-        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {SHINGLE_K}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {SHINGLE_K})))) END"
+    m = f"(size({toks}) - {SHINGLE_K - 1})"
+    zipped = (
+        "arrays_zip("
+        + ", ".join(f"slice({toks}, {i + 1}, {m})" for i in range(SHINGLE_K))
+        + ")"
     )
-    return df.withColumn("shingles", F.expr(sh))
+    short = (
+        f"array(named_struct('0', trim({text}), "
+        "'1', CAST(NULL AS STRING), '2', CAST(NULL AS STRING)))"
+    )
+    arr = f"CASE WHEN size({toks}) < {SHINGLE_K} THEN {short} ELSE {zipped} END"
+    out = df.select(key, F.explode(F.expr(arr)).alias("__z"))
+    s = (
+        "CASE WHEN __z['1'] IS NULL THEN __z['0'] "
+        "ELSE concat_ws(' ', __z['0'], __z['1'], __z['2']) END"
+    )
+    return out.select(key, F.expr(s).alias("s"))
 
 
 def dedup_exact(df: DataFrame, key: str = "doc_id", fp: str = "fp") -> DataFrame:
@@ -80,11 +99,11 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text") -
     whole-stage codegen — the signature computation never explodes or
     shuffles; only the tiny (|docs| x BANDS) signature table moves.
     """
-    # explode shingles (codegen) -> 16 min-aggregates in ONE hash agg
+    # exploded shingles (codegen) -> 16 min-aggregates in ONE hash agg
     # (partial aggregation map-side; only |docs| x 16 values shuffle).
     # NOT a higher-order-function fold: Spark evaluates HOF lambdas
     # interpreted per element (~10x slower than this codegen path).
-    sh = _shingles(df, text).select(key, F.explode("shingles").alias("s"))
+    sh = shingles_exploded(df, key, text)
     h = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
     aggs = [
         F.min(F.expr(_band_hash_sql(h, b))).alias(f"__mh{b}") for b in range(BANDS)
@@ -129,10 +148,12 @@ def minhash_lsh_pairs(
     cand_ids = (
         pairs.select(F.explode(F.array("id_a", "id_b")).alias(key)).distinct()
     )
+    # distinct AFTER the candidate narrowing: Jaccard is over each doc's
+    # distinct shingle set, and only candidate docs pay the distinct
     sh = (
-        _shingles(df, text)
+        shingles_exploded(df, key, text)
         .join(F.broadcast(cand_ids), key, "left_semi")
-        .select(F.col(key), F.explode("shingles").alias("s"))
+        .distinct()
     )
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
 

@@ -64,9 +64,7 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator branch — not the exact small-set branch — is exercised)."""
     from pydriosm_spark.operators.sketch import kmv_distinct_estimate
 
-    sh = dedup._shingles(_docs(spark, sf_dir)).select(
-        F.explode("shingles").alias("s")
-    )
+    sh = dedup.shingles_exploded(_docs(spark, sf_dir)).select("s")
     est = kmv_distinct_estimate(sh, "s", k=256)
     exact = sh.agg(F.countDistinct("s").cast("long").alias("exact_distinct"))
     return est.crossJoin(exact)

@@ -46,6 +46,18 @@ def test_flat_cover_has_no_probe_explode(spark):
     assert p.count("Generate") == 1, p
 
 
+def test_shingle_explode_plan_has_no_lambda(spark):
+    """Shingling must stay codegen (arrays_zip of shifted slices), not
+    an interpreted transform(sequence(...)) lambda — the interpreted
+    form alone cost 4s of the 10s sf0.1 minhash run."""
+    from pydriosm_spark.operators import dedup
+
+    df = dedup.shingles_exploded(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    p = _plan(df)
+    assert "lambdafunction" not in p and "transform(" not in p, p[:2000]
+    assert "arrays_zip" in p
+
+
 def test_simhash_plan_is_one_hash_agg_no_hofs(spark):
     """SimHash must stay explode + ONE partial+final hash aggregate —
     no interpreted higher-order functions (the r1 anti-pattern)."""
