@@ -41,6 +41,16 @@ def _count_in_sql(tokens: str, words: list[str], dialect: str) -> str:
 
 
 def stopword_count_sql(text: str, lang: str, dialect: str) -> str:
+    """Count of tokens in the language's stopword list.
+
+    Spark side: ``regexp_count`` with whitespace boundaries — a codegen
+    regular expression instead of an interpreted ``filter()`` lambda
+    over the token array (equivalent to the token form because tokens
+    are exactly the \\s+-delimited runs).  DuckDB keeps the list_filter
+    form, so the oracle cross-checks the equivalence."""
+    if dialect == "spark":
+        alt = "|".join(LANG_STOPWORDS[lang])
+        return f"regexp_count(trim({text}), '(^|\\\\s)({alt})(?=\\\\s|$)')"
     return _count_in_sql(tokens_sql(text, dialect), LANG_STOPWORDS[lang], dialect)
 
 

@@ -63,11 +63,25 @@ def quantize_sql(vec_col: str, dialect: str) -> str:
 
 
 def quantized(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SQL-side quantization — kept for tests/reference; the engine hot
+    paths quantize inside their numpy kernels (:func:`_qmat`) instead of
+    paying an interpreted per-element transform() lambda per row."""
     return emb.select(id_col, F.expr(quantize_sql(vec_col, "spark")).alias("qv"))
 
 
 def _mat(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype(np.int64)
+
+
+def _qmat(series: pd.Series) -> np.ndarray:
+    """Raw float32 embedding column -> quantized int64 matrix, exactly
+    matching the SQL ``round(x * QUANT)``: float32 -> float64 widening is
+    exact, the float64 product by QUANT is exact (24 + 20 mantissa
+    bits), and half-away rounding of an exact value is deterministic —
+    so kernel-side quantization is bit-equal to the oracle's
+    list_transform."""
+    x = np.stack(series.to_numpy()).astype(np.float64) * QUANT
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
 
 
 def cosine_topk_bruteforce(
@@ -145,7 +159,7 @@ def lsh_buckets(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            Q = _mat(b["qv"])  # (n, dim) int64
+            Q = _qmat(b[vec_col])  # (n, dim) int64, quantized in-kernel
             bits = (Q @ P.T) > 0  # (n, T*PL) exact integer dots
             bk = (
                 bits.reshape(len(Q), N_TABLES, N_PLANES).astype(np.int64) * pows
@@ -159,19 +173,20 @@ def lsh_buckets(
                 }
             )
 
-    return quantized(emb, id_col, vec_col).mapInPandas(kernel, schema)
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def _qcosine():
-    """Arrow-vectorized exact-deterministic cosine of two quantized
-    integer vectors: integer dots (order-independent in int64), then the
-    identical float64 ``dot / sqrt(double(n2a) * double(n2b))`` the SQL
-    oracle computes — bit-equal across engines.  (Factory: pandas_udf
-    registration needs an active session.)"""
+    """Arrow-vectorized exact-deterministic cosine of two raw embedding
+    vectors, quantized in-kernel (:func:`_qmat`): integer dots
+    (order-independent in int64), then the identical float64 ``dot /
+    sqrt(double(n2a) * double(n2b))`` the SQL oracle computes —
+    bit-equal across engines.  (Factory: pandas_udf registration needs
+    an active session.)"""
 
     @F.pandas_udf("double")
     def qcos(qa: pd.Series, qb: pd.Series) -> pd.Series:
-        A, B = _mat(qa), _mat(qb)
+        A, B = _qmat(qa), _qmat(qb)
         dot = np.einsum("ij,ij->i", A, B).astype(np.float64)
         n2a = np.einsum("ij,ij->i", A, A).astype(np.float64)
         n2b = np.einsum("ij,ij->i", B, B).astype(np.float64)
@@ -190,11 +205,12 @@ def qcosine_sql(a: str, b: str) -> str:
 
 
 def _rerank(
-    cand: DataFrame, emb_q: DataFrame, k: int, id_col: str
+    cand: DataFrame, emb: DataFrame, k: int, id_col: str, vec_col: str = "embedding"
 ) -> DataFrame:
-    """(qid, nid) candidates -> exact quantized-cosine top-k per qid."""
-    qv = emb_q.select(F.col(id_col).alias("qid"), F.col("qv").alias("qa"))
-    nv = emb_q.select(F.col(id_col).alias("nid"), F.col("qv").alias("qb"))
+    """(qid, nid) candidates -> exact quantized-cosine top-k per qid
+    (raw vectors travel; the UDF quantizes in-kernel)."""
+    qv = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qa"))
+    nv = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("qb"))
     scored = (
         cand.join(qv, "qid")
         .join(nv, "nid")
@@ -246,7 +262,7 @@ def cosine_topk_lsh(
         .select("qid", "nid")
         .distinct()
     )
-    return _rerank(cand, quantized(emb, id_col, vec_col), k, id_col)
+    return _rerank(cand, emb, k, id_col, vec_col)
 
 
 def embedding_dedup_pairs(
@@ -274,9 +290,8 @@ def embedding_dedup_pairs(
         .select("qid", "nid")
         .distinct()
     )
-    emb_q = quantized(emb, id_col, vec_col)
-    qv = emb_q.select(F.col(id_col).alias("qid"), F.col("qv").alias("qa"))
-    nv = emb_q.select(F.col(id_col).alias("nid"), F.col("qv").alias("qb"))
+    qv = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qa"))
+    nv = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("qb"))
     return (
         cand.join(qv, "qid")
         .join(nv, "nid")
@@ -304,16 +319,11 @@ def kmeans_fit(
     to the unrolled SQL oracle (queries_text.py).
 
     Returns int64 centroids (k x dim) at the QUANT scale."""
-    emb_q = quantized(emb, id_col, vec_col)
-    n = emb_q.count()
+    raw = emb.select(id_col, vec_col)
+    n = raw.count()
     stride = max(1, n // k)
-    init = (
-        emb_q.filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
-    cents = np.array([r["qv"] for r in init], dtype=np.int64)
+    init = raw.filter(F.col(id_col) % stride == 0).orderBy(id_col).limit(k).collect()
+    cents = _qmat(pd.Series([np.asarray(r[vec_col]) for r in init]))
     dim = cents.shape[1]
     sc = emb.sparkSession.sparkContext
 
@@ -326,7 +336,7 @@ def kmeans_fit(
             denom = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
             denom[denom == 0] = 1.0
             for b in batches:
-                Q = _mat(b["qv"])
+                Q = _qmat(b[vec_col])
                 sims = (Q @ C.T).astype(np.float64) / denom
                 assign = np.argmax(sims, axis=1)  # first max = lowest list_id
                 rows = []
@@ -335,7 +345,7 @@ def kmeans_fit(
                     rows.append((int(c), int(m.sum()), Q[m].sum(axis=0).tolist()))
                 yield pd.DataFrame(rows, columns=["list_id", "cnt", "s"])
 
-        parts = emb_q.mapInPandas(partials, schema).collect()
+        parts = raw.mapInPandas(partials, schema).collect()
         sums = np.zeros((len(cents), dim), dtype=np.int64)
         cnts = np.zeros(len(cents), dtype=np.int64)
         for r in parts:
@@ -371,7 +381,7 @@ def cosine_topk_ivf(
     cross join.  Fully SQL-oracled (integer-exact arithmetic)."""
     cents = kmeans_fit(emb, k=n_lists, id_col=id_col, vec_col=vec_col)
     bc = spark.sparkContext.broadcast(cents)
-    emb_q = quantized(emb, id_col, vec_col)
+    raw = emb.select(id_col, vec_col)
 
     schema = f"{id_col} long, list_id int"
 
@@ -380,7 +390,7 @@ def cosine_topk_ivf(
         denom = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
         denom[denom == 0] = 1.0
         for b in batches:
-            Q = _mat(b["qv"])
+            Q = _qmat(b[vec_col])
             sims = (Q @ C.T).astype(np.float64) / denom
             # stable sort on -sim: equal sims keep list_id order
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
@@ -397,8 +407,8 @@ def cosine_topk_ivf(
     def probe(batches):
         return topn(batches, n_probe)
 
-    index = emb_q.mapInPandas(assign, schema)  # inverted lists
-    probes = emb_q.mapInPandas(probe, schema).withColumnRenamed(id_col, "qid")
+    index = raw.mapInPandas(assign, schema)  # inverted lists
+    probes = raw.mapInPandas(probe, schema).withColumnRenamed(id_col, "qid")
 
     cand = (
         probes.join(index.withColumnRenamed(id_col, "nid"), "list_id")
@@ -406,4 +416,4 @@ def cosine_topk_ivf(
         .select("qid", "nid")
         .distinct()
     )
-    return _rerank(cand, emb_q, k, id_col)
+    return _rerank(cand, emb, k, id_col, vec_col)
