@@ -256,6 +256,103 @@ def spatial_join_points_polygons_distributed(
     return full_hits.unionByName(refined)
 
 
+def spatial_join_polygons_polygons_distributed(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 15,
+) -> DataFrame:
+    """Polygon-polygon overlap join with BOTH sides as DataFrames
+    (``feature_id long, rings array<array<array<double>>>``) — the scale
+    form of ``spatial_join_polygons_polygons``: covers built distributed
+    (build_cover_df), the ancestor projection rendered as static SQL
+    branches per (child_res, other_res) pair, candidates from one cell
+    equi-join, and the exact-intersection refine joining each side's
+    rings by feature_id into an Arrow kernel (definite full-cell pairs
+    skip geometry).  Semantics identical to the driver-side form
+    (equivalence-tested)."""
+    from typing import Iterator
+
+    lc = build_cover_df(left, res).withColumnRenamed("feature_id", "left_id")
+    rc = build_cover_df(right, res).withColumnRenamed("feature_id", "right_id")
+    lres = sorted(r["cres"] for r in lc.select("cres").distinct().collect())
+    rres = sorted(r["cres"] for r in rc.select("cres").distinct().collect())
+
+    def project(cov: DataFrame, own_res: list, other_res: list) -> DataFrame:
+        """Rows at original resolution plus parents at the other side's
+        coarser resolutions (orig flag kept for the witness argument)."""
+        structs = [
+            F.struct(F.col("cell").alias("cell"), F.lit(True).alias("orig"))
+        ]
+        for orr in other_res:
+            branches = None
+            for cr in own_res:
+                if orr < cr:
+                    e = F.expr(quadcell.parent_expr("cell", orr, cr))
+                    cond = F.col("cres") == cr
+                    branches = (
+                        F.when(cond, e) if branches is None else branches.when(cond, e)
+                    )
+            if branches is not None:
+                structs.append(
+                    F.struct(branches.alias("cell"), F.lit(False).alias("orig"))
+                )
+        expanded = cov.withColumn("__p", F.explode(F.array(*structs))).filter(
+            F.col("__p.cell").isNotNull()
+        )
+        return expanded.select(
+            cov.columns[0],
+            F.col("__p.cell").alias("cell"),
+            F.col("full"),
+            F.col("__p.orig").alias("orig"),
+        )
+
+    ldf = project(lc, lres, rres).select(
+        "left_id", "cell", F.col("full").alias("lfull"), F.col("orig").alias("lorig")
+    )
+    rdf = project(rc, rres, lres).select(
+        "right_id", "cell", F.col("full").alias("rfull"), F.col("orig").alias("rorig")
+    )
+    cand = (
+        ldf.join(rdf, "cell")
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.max(
+                F.col("lfull") & F.col("rfull") & (F.col("lorig") | F.col("rorig"))
+            ).alias("definite")
+        )
+    )
+
+    withgeo = cand.join(
+        left.select(F.col("feature_id").alias("left_id"), F.col("rings").alias("lrings")),
+        "left_id",
+    ).join(
+        right.select(F.col("feature_id").alias("right_id"), F.col("rings").alias("rrings")),
+        "right_id",
+    )
+
+    from pydriosm_spark.geometry.ops import polygons_intersect
+
+    schema = "left_id long, right_id long"
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def mats(rings):
+            return [
+                np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+                for ring in rings
+            ]
+
+        for b in batches:
+            keep = b["definite"].to_numpy(dtype=bool).copy()
+            for i in np.nonzero(~keep)[0]:
+                keep[i] = polygons_intersect(
+                    mats(b["lrings"].iloc[i]), mats(b["rrings"].iloc[i])
+                )
+            yield b.loc[keep, ["left_id", "right_id"]]
+
+    return withgeo.mapInPandas(refine, schema)
+
+
 def spatial_join_polygons_polygons(
     spark: SparkSession,
     left: Sequence[dict],

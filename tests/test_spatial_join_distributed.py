@@ -72,6 +72,49 @@ def test_distributed_matches_broadcast_on_10k_polygons(spark, points):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_polygon_polygon_distributed_matches_driver_form(spark):
+    """Both-sides-DataFrame polygon overlap join == the driver-side form
+    on offset grids (boundary-touching and containing cases included)."""
+    from pydriosm_spark.operators.spatial_join import (
+        spatial_join_polygons_polygons,
+        spatial_join_polygons_polygons_distributed,
+    )
+
+    def grid(n, cell, x0, y0, start_id=0):
+        out = []
+        for fid in range(n):
+            gx, gy = fid % 10, fid // 10
+            a, b = x0 + gx * cell, y0 + gy * cell
+            ring = np.array(
+                [[a, b], [a + cell, b], [a + cell, b + cell], [a, b + cell], [a, b]],
+                dtype=np.float64,
+            )
+            out.append({"feature_id": start_id + fid, "rings": [ring]})
+        return out
+
+    left = grid(60, 0.01, -1.0, 52.0)
+    right = grid(60, 0.013, -1.004, 51.997, start_id=1000)  # offset + rescaled
+
+    def to_df(polys):
+        return spark.createDataFrame(
+            [(p["feature_id"], [p["rings"][0].tolist()]) for p in polys],
+            "feature_id long, rings array<array<array<double>>>",
+        )
+
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spatial_join_polygons_polygons_distributed(
+            spark, to_df(left), to_df(right), res=15
+        ).collect()
+    }
+    want = {
+        (r["left_id"], r["right_id"])
+        for r in spatial_join_polygons_polygons(spark, left, right, res=15).collect()
+    }
+    assert len(want) > 50
+    assert got == want, (len(got), len(want), sorted(got ^ want)[:5])
+
+
 def test_distributed_cover_never_collects_polygons(spark, points):
     """Plan shape: the polygon side must enter the join as a Spark scan
     (mapInPandas over the polygon DataFrame), not as a driver-built
