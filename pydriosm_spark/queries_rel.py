@@ -334,6 +334,44 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
 
 
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators, expressed through the SQL API
+    (temp views + spark.sql) — nations that supply but never buy, and
+    nations that do both."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        SELECT 'both' AS grp, n_key FROM (
+          SELECT c_nationkey AS n_key FROM v_customer
+          INTERSECT
+          SELECT s_nationkey FROM v_supplier
+        )
+        UNION ALL
+        SELECT 'supply_only', n_key FROM (
+          SELECT s_nationkey AS n_key FROM v_supplier
+          EXCEPT
+          SELECT c_nationkey FROM v_customer
+        )
+        """
+    )
+
+
+def oracle_setops() -> str:
+    return """
+SELECT 'both' AS grp, n_key FROM (
+  SELECT c_nationkey AS n_key FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'supply_only', n_key FROM (
+  SELECT s_nationkey AS n_key FROM supplier
+  EXCEPT
+  SELECT c_nationkey FROM customer
+)"""
+
+
 _Q_VALUE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
 _Q_KEY = (
     "concat_ws(':', l_orderkey, l_linenumber, l_partkey, "
@@ -370,4 +408,5 @@ def registry() -> dict:
         "rel_pivot": (q_pivot, oracle_pivot()),
         "rel_rolling": (q_rolling, oracle_rolling()),
         "sketch_quantiles": (q_sketch_quantiles, oracle_sketch_quantiles()),
+        "rel_setops": (q_setops, oracle_setops()),
     }
