@@ -113,5 +113,23 @@ def test_pricing_summary_partial_final_agg_and_pushdown(spark):
     assert p.count("HashAggregate") >= 2, p  # partial + final
     opt = _optimized(q)
     assert "1998-09-02" in opt  # filter survives to the scan boundary
+    # the predicate is PUSHED to the parquet reader, not just planned
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
     # column pruning: unused lineitem columns are not read
     assert "l_partkey" not in p.split("ReadSchema")[-1] if "ReadSchema" in p else True
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on a Hive partition column must become a PartitionFilter
+    (only matching directories scanned), not a post-scan Filter."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pt")
+    spark.range(1000).withColumn("part", F.col("id") % 8).write.partitionBy(
+        "part"
+    ).parquet(path)
+    q = spark.read.parquet(path).filter(F.col("part") == 3)
+    p = _plan(q)
+    seg = p.split("PartitionFilters")[1][:200] if "PartitionFilters" in p else ""
+    assert "part" in seg and "3" in seg, p[:2000]
+    assert q.count() == 125
