@@ -135,25 +135,39 @@ def cosine_topk_bruteforce(
     return emb.select(id_col, vec_col).mapInPandas(compute, schema)
 
 
-def _planes(dim: int, table: int) -> np.ndarray:
+def _planes(dim: int, table: int, n_planes: int = N_PLANES) -> np.ndarray:
     """Deterministic integer 'random' hyperplanes (no RNG: reproducible
     across engines/runs)."""
-    i = np.arange(N_PLANES)[:, None]
+    i = np.arange(n_planes)[:, None]
     d = np.arange(dim)[None, :]
     return ((i * 131 + d * 17 + table * 257) % 97) - 48
 
 
 def lsh_buckets(
-    emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """(vec_id, table, bucket): sign-pattern bucket per plane table.
 
-    ONE numpy kernel computes all N_TABLES x N_PLANES integer dots per
+    ONE numpy kernel computes all N_TABLES x n_planes integer dots per
     Arrow batch (int64 matmul — exact, so bucket bits match the SQL
     oracle bit-for-bit); replaces 48 interpreted ``aggregate(zip_with)``
-    HOF expressions per row (~10x slower, the repo's own anti-pattern)."""
-    P = np.concatenate([_planes(dim, t) for t in range(N_TABLES)]).astype(np.int64)
-    pows = (1 << np.arange(N_PLANES, dtype=np.int64))
+    HOF expressions per row (~10x slower, the repo's own anti-pattern).
+
+    SIZING RULE (the selectivity knob that makes or breaks LSH at
+    scale): candidates per query ~ N_TABLES * (n_flips + 1) * N /
+    2^n_planes, so pick ``n_planes ~ log2(N / target_bucket_size)``.
+    The default 6 suits the 10^2-10^4 driver fixtures; at 10^6+ use
+    ~14-18 or the candidate join degenerates toward all-pairs (measured:
+    at 8k vectors, 6 planes made ANN 40x SLOWER than brute force; 12
+    planes fixed it — tests/test_ann_scaling.py)."""
+    P = np.concatenate(
+        [_planes(dim, t, n_planes) for t in range(N_TABLES)]
+    ).astype(np.int64)
+    pows = (1 << np.arange(n_planes, dtype=np.int64))
 
     schema = f"{id_col} long, table int, bucket int"
 
@@ -162,7 +176,7 @@ def lsh_buckets(
             Q = _qmat(b[vec_col])  # (n, dim) int64, quantized in-kernel
             bits = (Q @ P.T) > 0  # (n, T*PL) exact integer dots
             bk = (
-                bits.reshape(len(Q), N_TABLES, N_PLANES).astype(np.int64) * pows
+                bits.reshape(len(Q), N_TABLES, n_planes).astype(np.int64) * pows
             ).sum(axis=2)
             n = len(Q)
             yield pd.DataFrame(
@@ -249,12 +263,14 @@ def cosine_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """ANN top-k via multi-probe LSH candidates + exact re-rank
     (approximate, recall-gated; fully SQL-oracled via integer
-    quantization)."""
-    b = lsh_buckets(emb, dim, id_col, vec_col)
-    a = multiprobe(b).select(F.col(id_col).alias("qid"), "table", "bucket")
+    quantization).  ``n_planes`` is the selectivity knob — see
+    lsh_buckets' sizing rule."""
+    b = lsh_buckets(emb, dim, id_col, vec_col, n_planes)
+    a = multiprobe(b, n_flips=n_planes).select(F.col(id_col).alias("qid"), "table", "bucket")
     c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
     cand = (
         a.join(c, ["table", "bucket"])
