@@ -60,6 +60,24 @@ def test_sized_planes_keep_candidates_subquadratic(spark, emb8k):
     assert cand_counts[12] * 5 < cand_counts[6], cand_counts
 
 
+def test_sized_ivf_lists_cut_candidates(spark, emb8k):
+    """Same economics for IVF: candidates/query ~ n_probe * N / n_lists,
+    so n_lists must grow with N (the registry default 16 suits the
+    driver fixtures; 64 quarters the candidate join at 8k vectors) —
+    and recall holds because list geometry only refines."""
+    t0 = time.time()
+    approx = similarity.cosine_topk_ivf(
+        spark, emb8k, n_lists=64, n_probe=8
+    ).toPandas()
+    t64 = time.time() - t0
+    exact = similarity.cosine_topk_bruteforce(spark, emb8k).toPandas()
+    e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    assert t64 < 60, t64  # 16-list form measured ~75s on this box
+
+
 def test_sized_planes_hold_recall_and_beat_degenerate_runtime(spark, emb8k):
     t0 = time.time()
     approx = similarity.cosine_topk_lsh(spark, emb8k, dim=64, n_planes=12).toPandas()
