@@ -372,6 +372,42 @@ SELECT 'supply_only', n_key FROM (
 )"""
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same event
+    stream aggregated at two time granularities (hour + day) per
+    event_type in ONE pass via GROUPING SETS — the multi-resolution
+    rollup a time-series store maintains incrementally."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql(
+        """
+        SELECT date_trunc('DAY', ts) AS day_start,
+               date_trunc('HOUR', ts) AS hour_start,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM v_events
+        GROUP BY GROUPING SETS (
+          (date_trunc('DAY', ts), event_type),
+          (date_trunc('HOUR', ts), event_type)
+        )
+        """
+    )
+
+
+def oracle_time_rollup() -> str:
+    return """
+SELECT date_trunc('day', ts) AS day_start,
+       date_trunc('hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts), event_type),
+  (date_trunc('hour', ts), event_type)
+)"""
+
+
 _Q_VALUE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
 _Q_KEY = (
     "concat_ws(':', l_orderkey, l_linenumber, l_partkey, "
@@ -409,4 +445,5 @@ def registry() -> dict:
         "rel_rolling": (q_rolling, oracle_rolling()),
         "sketch_quantiles": (q_sketch_quantiles, oracle_sketch_quantiles()),
         "rel_setops": (q_setops, oracle_setops()),
+        "rel_time_rollup": (q_time_rollup, oracle_time_rollup()),
     }
