@@ -326,8 +326,10 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Distributed deterministic Lloyd k-means over quantized embeddings.
 
-    Init: the first ``k`` vectors with ``id % (n // k) == 0`` (id-stride,
-    no RNG).  Each iteration: ONE mapInPandas pass emits per-batch
+    Init: every ``n // k``-th row by rank over ``orderBy(id)`` (position
+    stride, no RNG) — rank-based rather than ``id % stride`` so sparse,
+    offset, or negative id spaces still yield exactly ``k`` seeds
+    (ADVICE r2).  Each iteration: ONE mapInPandas pass emits per-batch
     (list_id, count, int-sum-vector) partials — the driver combines at
     most ``batches x k`` tiny rows and re-quantizes the means.  The full
     table never reaches the driver.  Centroids stay integers, so the
@@ -337,8 +339,16 @@ def kmeans_fit(
     Returns int64 centroids (k x dim) at the QUANT scale."""
     raw = emb.select(id_col, vec_col)
     n = raw.count()
+    if n < k:
+        raise ValueError(f"kmeans_fit: need >= k={k} vectors, got {n}")
     stride = max(1, n // k)
-    init = raw.filter(F.col(id_col) % stride == 0).orderBy(id_col).limit(k).collect()
+    from pyspark.sql import Window
+
+    ranked = raw.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(id_col)) - 1
+    )
+    init = ranked.filter(F.col("_rn") % stride == 0).orderBy("_rn").limit(k).collect()
+    assert len(init) == k, f"kmeans init selected {len(init)} != k={k} seeds"
     cents = _qmat(pd.Series([np.asarray(r[vec_col]) for r in init]))
     dim = cents.shape[1]
     sc = emb.sparkSession.sparkContext

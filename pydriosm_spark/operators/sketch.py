@@ -71,6 +71,13 @@ def sampled_quantiles(
     targets = spark.createDataFrame(
         [(q, (q * k + 999) // 1000) for q in qs_permille], "q_permille long, rank int"
     )
+    # Clamp target ranks to the actual sample size: inputs smaller than k
+    # must return their exact max-side quantile, not silently drop the row
+    # (ADVICE r2).
+    n_df = samp.agg(F.count(F.lit(1)).alias("n"))
+    targets = targets.crossJoin(n_df).select(
+        "q_permille", F.least(F.col("rank"), F.col("n")).cast("int").alias("rank")
+    )
     return targets.join(ranked, "rank").select(
         "q_permille", F.col("v").alias("value")
     )
@@ -96,9 +103,12 @@ WITH samp AS (
 ranked AS (
   SELECT v, row_number() OVER (ORDER BY v ASC, h ASC) AS rank FROM samp
 ),
-targets(q_permille, rank) AS (VALUES {targets})
+targets(q_permille, rank) AS (VALUES {targets}),
+clamped AS (
+  SELECT q_permille, LEAST(rank, (SELECT count(*) FROM samp)) AS rank FROM targets
+)
 SELECT CAST(t.q_permille AS BIGINT) AS q_permille, r.v AS value
-FROM targets t JOIN ranked r ON r.rank = t.rank"""
+FROM clamped t JOIN ranked r ON r.rank = t.rank"""
 
 
 def kmv_distinct_estimate(values: DataFrame, value_col: str, k: int = 256) -> DataFrame:

@@ -218,7 +218,11 @@ def spatial_join_points_polygons_distributed(
     path (equivalence-tested against it on >= 10k polygons)."""
     from typing import Iterator
 
-    cover = build_cover_df(polygons, res)
+    # localCheckpoint: the cover kernel (mapInPandas over every polygon)
+    # would otherwise execute twice — once for the res_set collect and
+    # again inside the join (ADVICE r2).  Materializing it once also
+    # truncates the lineage so the join replans from the small cover.
+    cover = build_cover_df(polygons, res).localCheckpoint()
     res_set = sorted(r["cres"] for r in cover.select("cres").distinct().collect())
     cover = cover.drop("cres")
 
@@ -273,8 +277,18 @@ def spatial_join_polygons_polygons_distributed(
     (equivalence-tested)."""
     from typing import Iterator
 
-    lc = build_cover_df(left, res).withColumnRenamed("feature_id", "left_id")
-    rc = build_cover_df(right, res).withColumnRenamed("feature_id", "right_id")
+    # localCheckpoint: each cover feeds a res-set collect AND the join —
+    # without it the cover kernel executes twice per side (ADVICE r2).
+    lc = (
+        build_cover_df(left, res)
+        .withColumnRenamed("feature_id", "left_id")
+        .localCheckpoint()
+    )
+    rc = (
+        build_cover_df(right, res)
+        .withColumnRenamed("feature_id", "right_id")
+        .localCheckpoint()
+    )
     lres = sorted(r["cres"] for r in lc.select("cres").distinct().collect())
     rres = sorted(r["cres"] for r in rc.select("cres").distinct().collect())
 

@@ -40,6 +40,25 @@ class CommitResult:
     rows_written: int
 
 
+def _unescape_hive(name: str) -> str:
+    """Invert Spark's partition-directory escaping (%XX for ':', '%',
+    '=', control chars, ...) so directory names can be matched back to
+    the original partition values.  Mirrors
+    ``ExternalCatalogUtils.unescapePathName`` in Spark."""
+    out, i = [], 0
+    while i < len(name):
+        if name[i] == "%" and i + 2 < len(name) + 1 and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
 class PartitionedCheckpoint:
     def __init__(self, base_dir: str, partition_col: str):
         self.base = base_dir
@@ -58,6 +77,22 @@ class PartitionedCheckpoint:
                     if line.strip():
                         e = json.loads(line)
                         out[str(e["partition"])] = e
+        return out
+
+    def _partition_dirs(self) -> dict:
+        """Partition value (unescaped, as str) -> on-disk directory.
+        Scanning the actual listing (instead of formatting
+        ``f"{col}={v}"`` by hand) is what makes values containing ':',
+        '%', '=', spaces, ... work — Spark escapes those in directory
+        names, so a hand-built path would miss the real directory."""
+        prefix = f"{self.col}="
+        out = {}
+        if os.path.isdir(self.data_dir):
+            for name in os.listdir(self.data_dir):
+                if name.startswith(prefix):
+                    out[_unescape_hive(name[len(prefix) :])] = os.path.join(
+                        self.data_dir, name
+                    )
         return out
 
     def _append_manifest(self, entries: list[dict]) -> None:
@@ -117,6 +152,15 @@ class PartitionedCheckpoint:
 
         written, rows_total = [], 0
         df = df.cache()
+        # Dynamic partition overwrite: mode("overwrite") replaces ONLY the
+        # partitions present in the batch, wholesale — half-written
+        # directories of a dead run are swapped out atomically per
+        # partition, with Spark handling its own directory-name escaping
+        # (':' -> '%3A' etc.), which a manual rmtree of f"{col}={v}"
+        # would miss.  This is the plain-parquet analogue of Iceberg's
+        # overwritePartitions snapshot commit.
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             done_n = 0
             for b0 in range(0, len(todo), max(1, batch_size)):
@@ -125,26 +169,18 @@ class PartitionedCheckpoint:
                     raise RuntimeError(f"injected failure after {fail_after} partitions")
                 if fail_after is not None:
                     batch = batch[: fail_after - done_n]
-                for v in batch:  # overwrite => half-written partitions of a
-                    # dead run are replaced wholesale; idempotent
-                    part_dir = os.path.join(self.data_dir, f"{self.col}={v}")
-                    import shutil
-
-                    shutil.rmtree(part_dir, ignore_errors=True)
                 # ONE job writes the whole batch (Hive layout via
                 # partitionBy), not one job per partition
                 batch_df = df.filter(F.col(self.col).isin(list(batch)))
-                batch_df.write.mode("append").partitionBy(self.col).parquet(self.data_dir)
-                # ONE read-back job verifies all counts in the batch
+                batch_df.write.mode("overwrite").partitionBy(self.col).parquet(
+                    self.data_dir
+                )
+                # Counts come from the batch itself (cached), not a
+                # read-back of hand-built escaped paths that could
+                # silently count 0 on type re-inference mismatches.
                 counts = {
                     str(r[0]): r[1]
-                    for r in spark.read.option("basePath", self.data_dir)
-                    .parquet(
-                        *[os.path.join(self.data_dir, f"{self.col}={v}") for v in batch]
-                    )
-                    .groupBy(self.col)
-                    .count()
-                    .collect()
+                    for r in batch_df.groupBy(self.col).count().collect()
                 }
                 entries = []
                 for v in batch:
@@ -157,6 +193,7 @@ class PartitionedCheckpoint:
                 self._append_manifest(entries)
                 done_n += len(batch)
         finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
             df.unpersist()
         return CommitResult(written, skipped, rows_total)
 
@@ -168,12 +205,14 @@ class PartitionedCheckpoint:
         import shutil
 
         done = self.committed()
+        dirs = self._partition_dirs()
         targets = list(done) if partitions is None else [str(p) for p in partitions]
         dropped = []
         for v in targets:
             if v not in done:
                 continue
-            shutil.rmtree(os.path.join(self.data_dir, f"{self.col}={v}"), ignore_errors=True)
+            if v in dirs:
+                shutil.rmtree(dirs[v], ignore_errors=True)
             dropped.append(v)
         keep = [e for k, e in done.items() if k not in set(dropped)]
         with open(self.manifest_path, "w") as f:
@@ -183,12 +222,9 @@ class PartitionedCheckpoint:
 
     # -- read --------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.data_dir).parquet(
-            *[
-                os.path.join(self.data_dir, f"{self.col}={v}")
-                for v in self.committed()
-            ]
-        )
+        dirs = self._partition_dirs()
+        paths = [dirs[v] for v in self.committed() if v in dirs]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """The lineage/metrics sidecar as a DataFrame."""

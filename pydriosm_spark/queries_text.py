@@ -415,10 +415,11 @@ def oracle_ann_ivf(n_lists: int = 16, n_probe: int = 4, iterations: int = 5) -> 
         f"e AS (SELECT vec_id, {qz} AS qv FROM embeddings)",
         "nn AS (SELECT count(*) AS n FROM e)",
         f"""c0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv AS cent
-  FROM (SELECT e.vec_id, e.qv FROM e, nn
-        WHERE e.vec_id % greatest(nn.n // {n_lists}, 1) = 0
-        ORDER BY e.vec_id LIMIT {n_lists})
+  SELECT row_number() OVER (ORDER BY rn) - 1 AS list_id, qv AS cent
+  FROM (SELECT qv, rn
+        FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e), nn
+        WHERE rn % greatest(nn.n // {n_lists}, 1) = 0
+        ORDER BY rn LIMIT {n_lists})
 )""",
     ]
     for i in range(1, iterations + 1):

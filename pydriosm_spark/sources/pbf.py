@@ -863,7 +863,10 @@ def relation_layers_distributed(
     import json
     from typing import Iterator
 
-    prims = read_pbf_primitives_split(spark, path, n_tasks)
+    # persist: prims feeds three branches (ways, nodes, relations); without
+    # it each branch re-runs the PBF blob decode (ADVICE r2).  MEMORY_AND_
+    # DISK default — primitive rows can exceed executor memory at scale.
+    prims = read_pbf_primitives_split(spark, path, n_tasks).persist()
     ways_ct = _ways_coords_tags(prims)
     nodes = prims.filter(F.col("kind") == "node").select("id", "lon", "lat")
 

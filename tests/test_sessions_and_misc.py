@@ -149,6 +149,57 @@ def test_checkpoint_drop(spark, tmp_path):
     assert ck.read(spark).count() == 50
 
 
+def test_checkpoint_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark escapes in directory names (':' -> '%3A')
+    and values type-inference would mangle ('01' -> 1) must round-trip:
+    correct manifest counts, correct read-back, idempotent resume, and
+    drop removing the real escaped directory (ADVICE r2: the old
+    rmtree+append on hand-built f'{col}={v}' paths missed all of these).
+    """
+    from pyspark.sql import functions as F
+
+    vals = ["2024-01-01 00:00:00", "2024-01-01 00:15:00", "01", "a=b%c"]
+    df = (
+        spark.range(40)
+        .withColumn("part", F.element_at(F.array(*[F.lit(v) for v in vals]), (F.col("id") % 4 + 1).cast("int")))
+    )
+    base = str(tmp_path / "esc")
+    ck = PartitionedCheckpoint(base, "part")
+    res = ck.run(df, run_id="r1")
+    assert sorted(res.written_partitions) == sorted(vals)
+    # every partition must report its true row count, not 0
+    assert {e["partition"]: e["rows"] for e in ck.committed().values()} == {
+        v: 10 for v in vals
+    }
+    assert ck.read(spark).count() == 40
+    # resume is a no-op (no duplicate rows from append-on-top-of-stale)
+    res2 = ck.run(df, run_id="r2")
+    assert res2.written_partitions == [] and sorted(res2.skipped_partitions) == sorted(vals)
+    assert ck.read(spark).count() == 40
+    # drop finds the escaped directory on disk
+    dropped = ck.drop(["2024-01-01 00:00:00"])
+    assert dropped == ["2024-01-01 00:00:00"]
+    assert ck.read(spark).count() == 30
+
+
+def test_checkpoint_overwrite_replaces_dead_run_files(spark, tmp_path):
+    """A partition directory left by a dead run (files present, no
+    manifest line) must be replaced wholesale on resume — total rows
+    equal a single clean run, not clean + stale."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).withColumn("part", (F.col("id") % 2).cast("string"))
+    base = str(tmp_path / "dead")
+    ck = PartitionedCheckpoint(base, "part")
+    # simulate a dead run: partition files exist but were never committed
+    df.filter(F.col("part") == "1").write.partitionBy("part").mode("append").parquet(
+        ck.data_dir
+    )
+    res = ck.run(df, run_id="r1")
+    assert res.rows_written == 20
+    assert ck.read(spark).count() == 20
+
+
 def test_checkpoint_rejects_null_partition(spark, tmp_path):
     """NULL partition values would be silently dropped (filter(col ==
     NULL) matches nothing) while the manifest committed rows=0 — must
