@@ -1,10 +1,14 @@
-"""Multimodal queries.  The feature kernels are rows-only driver checks
-(binary decode pytest-gated against direct numpy recomputation —
-tests/test_multimodal.py); the MANIFEST query is fully oracled: DuckDB
-reconstructs every payload's byte stream in SQL (magic + little-endian
-int32 headers + the md5 counter stream) and matches the engine's
-md5-over-hex of the actual binary column, pinning the payload bytes
-cross-engine."""
+"""Multimodal queries — ALL oracled.  DuckDB reconstructs every
+payload's byte stream in SQL (magic + little-endian int32 headers + the
+md5 counter stream); the MANIFEST oracle pins the payload bytes
+cross-engine (md5-over-hex of the binary column), and the three FEATURE
+oracles recompute the feature math over those reconstructed streams in
+pure SQL — per-byte extraction via substr over the hex stream, channel
+sums / signed-int16 PCM stats / frame means in integer-exact arithmetic
+— sharing no code with the mapInPandas kernels in multimodal/media.py.
+The single float step (audio RMS sqrt) is exact: the int64 square-sum is
+< 2^53 so the float64 division, sqrt, and truncation are bit-identical
+in numpy and DuckDB."""
 
 from __future__ import annotations
 
@@ -79,6 +83,93 @@ SELECT doc_id AS media_id,
 FROM documents"""
 
 
+#: per-kind payload byte ceilings (images w<=16,h<=12: 576; audio
+#: n<=383 samples: 766; video 8*6*(nf<=8): 384) — DuckDB's range() joins
+#: a fixed upper bound and filters i < n_bytes per row, since lateral
+#: per-row bounds are unavailable
+_IMG_MAX, _AUD_MAX, _VID_MAX = 576, 766, 384
+
+
+def oracle_image_features() -> str:
+    """Mean RGB per image, recomputed byte-by-byte over the SQL-
+    reconstructed pixel stream: byte i belongs to channel i%3 (row-major
+    RGB), means scaled to e4 by integer floor division — exactly
+    multimodal/media.py:image_features without sharing any code."""
+    n_px = "(w * h * 3)"
+    return f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+         {_stream_hex("'img' || doc_id", "(8 + doc_id % 9) * (6 + doc_id % 7) * 3")} AS px_hex
+  FROM documents WHERE doc_id % 3 = 0
+),
+bytes AS (
+  SELECT media_id, w, h, r.i AS i,
+         ('0x' || substr(px_hex, r.i * 2 + 1, 2))::BIGINT AS b
+  FROM imgs, range(0, {_IMG_MAX}) r(i)
+  WHERE r.i < {n_px}
+)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) * 10000 // (w * h) AS BIGINT) AS mean_r_e4,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) * 10000 // (w * h) AS BIGINT) AS mean_g_e4,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) * 10000 // (w * h) AS BIGINT) AS mean_b_e4
+FROM bytes GROUP BY media_id, w, h"""
+
+
+def oracle_audio_features() -> str:
+    """RMS + zero crossings over the SQL-reconstructed PCM stream.
+    Sample j = signed little-endian int16 at bytes (2j, 2j+1); RMS uses
+    the one float step the kernel uses (sqrt of the exact int64
+    square-sum / n, truncated at e4 — bit-identical in float64)."""
+    return f"""
+WITH auds AS (
+  SELECT doc_id AS media_id, 8000 AS sr, 256 + doc_id % 128 AS n,
+         {_stream_hex("'aud' || doc_id", "(256 + doc_id % 128) * 2")} AS pcm_hex
+  FROM documents WHERE doc_id % 3 = 1
+),
+samples AS (
+  SELECT media_id, sr, n, j,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM (
+    SELECT media_id, sr, n, r.j AS j,
+           ('0x' || substr(pcm_hex, r.j * 4 + 1, 2))::BIGINT
+           + 256 * ('0x' || substr(pcm_hex, r.j * 4 + 3, 2))::BIGINT AS u
+    FROM auds, range(0, {(_AUD_MAX + 1) // 2}) r(j)
+    WHERE r.j < n
+  )
+),
+crossed AS (
+  SELECT media_id, sr, n, s,
+         lead(s) OVER (PARTITION BY media_id ORDER BY j) AS s_next
+  FROM samples
+)
+SELECT media_id, CAST(sr AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+       CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / n) * 10000) AS BIGINT) AS rms_e4,
+       CAST(sum(CASE WHEN s * s_next < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM crossed GROUP BY media_id, sr, n"""
+
+
+def oracle_video_frames() -> str:
+    """Every 2nd frame's mean gray level over the SQL-reconstructed
+    frame stream: byte i belongs to frame i // (w*h)."""
+    return f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, 8 AS w, 6 AS h, 4 + doc_id % 5 AS nf,
+         {_stream_hex("'vid' || doc_id", "8 * 6 * (4 + doc_id % 5)")} AS fr_hex
+  FROM documents WHERE doc_id % 3 = 2
+),
+bytes AS (
+  SELECT media_id, w, h, r.i // (w * h) AS frame_idx,
+         ('0x' || substr(fr_hex, r.i * 2 + 1, 2))::BIGINT AS b
+  FROM vids, range(0, {_VID_MAX}) r(i)
+  WHERE r.i < w * h * nf
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum(b) * 10000 // (w * h) AS BIGINT) AS frame_mean_e4
+FROM bytes WHERE frame_idx % 2 = 0
+GROUP BY media_id, frame_idx, w, h"""
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.media_table(spark, sf_dir))
 
@@ -94,7 +185,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def registry() -> dict:
     return {
         "media_manifest": (q_media_manifest, oracle_media_manifest()),
-        "media_image_features": (q_image_features, None),
-        "media_audio_features": (q_audio_features, None),
-        "media_video_frames": (q_video_frame_sample, None),
+        "media_image_features": (q_image_features, oracle_image_features()),
+        "media_audio_features": (q_audio_features, oracle_audio_features()),
+        "media_video_frames": (q_video_frame_sample, oracle_video_frames()),
     }
