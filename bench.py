@@ -185,8 +185,8 @@ def _scaling_worker(cpus: int, path: str, trials: int):
     for _ in range(trials):
         t0 = time.time()
         rows = job()
-        ts.append(time.time() - t0)
-    print(json.dumps({"cpus": cpus, "rows": rows, "min_sec": round(min(ts), 2)}))
+        ts.append(round(time.time() - t0, 3))
+    print(json.dumps({"cpus": cpus, "rows": rows, "secs": ts}))
     spark.stop()
 
 
@@ -211,15 +211,18 @@ def scaling_probe(sf_dir: str) -> dict:
         ).write.mode("overwrite").parquet(mat)
         spark.stop()
 
-    # Retry-on-low with min-per-level: run-to-run noise on this shared
-    # box is 2-3x and time-localized, so a single probe window can
-    # misread efficiency by 0.2+ (observed 0.615 vs 0.861 forty minutes
-    # apart).  Contention can only SLOW a run, so taking each level's
-    # best across passes converges toward the true (uncontended)
-    # reading; the second interleaved pass (hi, lo) runs only when the
-    # first pass reads below the 0.8 target, keeping the quiet-box cost
-    # at two worker runs.
-    out = {}
+    # UNCONDITIONAL interleaved schedule (lo,hi),(hi,lo) with min- and
+    # median-per-level reporting.  Run-to-run noise on this shared box is
+    # 2-3x and time-localized, so a single probe window can misread
+    # efficiency by 0.2+ (observed 0.615 vs 0.861 forty minutes apart);
+    # contention can only SLOW a run, so min-per-level converges toward
+    # the true (uncontended) reading.  The pass count is FIXED — round 2
+    # retried only when the first reading was below target, which is
+    # asymmetric (outcome-conditioned) evidence; both passes now always
+    # run, and the median is reported alongside the min so the spread is
+    # visible.
+    secs = {SCALING_LO: [], SCALING_HI: []}
+    rows_seen = set()
 
     def run_level(cpus: int):
         env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
@@ -231,31 +234,34 @@ def scaling_probe(sf_dir: str) -> dict:
             check=True,
         )
         res = json.loads(r.stdout.strip().splitlines()[-1])
-        prev = out.get(cpus)
-        if prev is not None:
-            assert prev["rows"] == res["rows"], (prev, res)
-            res["min_sec"] = min(res["min_sec"], prev["min_sec"])
-        out[cpus] = res
+        secs[cpus].extend(res["secs"])
+        rows_seen.add(res["rows"])
 
-    for cpus in (SCALING_LO, SCALING_HI):
+    for cpus in (SCALING_LO, SCALING_HI, SCALING_HI, SCALING_LO):
         run_level(cpus)
-    eff = (out[SCALING_LO]["min_sec"] / out[SCALING_HI]["min_sec"]) / (
-        SCALING_HI / SCALING_LO
-    )
-    if eff < 0.8:  # noisy window — one more interleaved pass
-        for cpus in (SCALING_HI, SCALING_LO):
-            run_level(cpus)
-    lo, hi = out[SCALING_LO], out[SCALING_HI]
-    assert lo["rows"] == hi["rows"], f"output mismatch across parallelism: {lo} vs {hi}"
-    speedup = lo["min_sec"] / hi["min_sec"]
+    assert len(rows_seen) == 1, f"output mismatch across parallelism: {rows_seen}"
+
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    lo_min, hi_min = min(secs[SCALING_LO]), min(secs[SCALING_HI])
+    speedup = lo_min / hi_min
+    med_speedup = med(secs[SCALING_LO]) / med(secs[SCALING_HI])
     return {
         "cpus_lo": SCALING_LO,
         "cpus_hi": SCALING_HI,
-        "sec_lo": lo["min_sec"],
-        "sec_hi": hi["min_sec"],
-        "rows": hi["rows"],
+        "sec_lo": round(lo_min, 2),
+        "sec_hi": round(hi_min, 2),
+        "sec_lo_median": round(med(secs[SCALING_LO]), 2),
+        "sec_hi_median": round(med(secs[SCALING_HI]), 2),
+        "passes": 2,
+        "trials_per_level": len(secs[SCALING_LO]),
+        "rows": rows_seen.pop(),
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / (SCALING_HI / SCALING_LO), 3),
+        "efficiency_median": round(med_speedup / (SCALING_HI / SCALING_LO), 3),
     }
 
 

@@ -1,0 +1,169 @@
+"""Region hierarchy tier + subregion expansion — the engine analogue of
+the reference's region-subregion tier and leaf enumeration
+(/root/reference/pydriosm/downloader/geofabrik.py:602-651
+``_compile_region_subregion_tier``, :1316-1390 ``get_subregions``):
+"import Europe" must expand to every *leaf* subregion and drive a
+per-leaf checkpointed ingest.
+
+The reference compiles its tier by scraping Geofabrik's subregion
+tables into nested dicts on one machine; here the tier is a plain
+``(region, parent)`` edge DataFrame (any source: a config file, a
+catalogue table, the synthesized fixture below) and both depth
+computation and leaf expansion are DataFrame joins, so the dimension
+can be millions of rows without a driver-side dict:
+
+* :func:`tier_from_edges` — (region, parent) -> (region, parent, depth,
+  is_leaf) via pointer-doubling over ancestor pointers (O(log depth)
+  self-joins, same machinery as dedup.connected_components), raising on
+  cycles instead of looping forever.
+* :func:`descendants` / :func:`get_subregions` — reference
+  ``get_subregions`` semantics: no names -> all leaves; names ->
+  fuzzy-resolved direct children; ``deep=True`` -> leaf descendants.
+* :func:`ingest_subregions` — tier-driven multi-region ingest: expand
+  names to leaves, then one PartitionedCheckpoint run over the leaf
+  partitions (resume/lineage semantics inherited — the per-leaf
+  analogue of the reference's per-subregion download loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydriosm_spark.functions.naming import InvalidNameError, find_similar_str
+from pydriosm_spark.plans.checkpoint import CommitResult, PartitionedCheckpoint
+
+#: doubling rounds before declaring a cycle: covers tiers 2^20 deep
+#: (any real region hierarchy is < 10)
+_MAX_DOUBLINGS = 20
+
+
+def tier_from_edges(edges: DataFrame) -> DataFrame:
+    """``(region, parent)`` edges (roots have parent NULL) -> the tier
+    dimension ``(region, parent, depth, is_leaf)``; depth 0 at roots.
+
+    Pointer doubling: each round joins every region's current top known
+    ancestor to THAT ancestor's top known ancestor, doubling the hops
+    resolved per round — O(log depth) shuffles instead of O(depth), and
+    a chain that never reaches a root (a cycle) is detected when a round
+    stops making progress."""
+    cur = edges.select(
+        "region", F.col("parent").alias("anc"), F.lit(0).alias("depth")
+    ).withColumn("depth", F.when(F.col("anc").isNull(), 0).otherwise(1))
+    for _ in range(_MAX_DOUBLINGS):
+        if cur.filter(F.col("anc").isNotNull()).isEmpty():
+            break
+        nxt = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("region").alias("anc"),
+                    F.col("anc").alias("anc2"),
+                    F.col("depth").alias("d2"),
+                ).alias("b"),
+                "anc",
+                "left",
+            )
+            .select(
+                "region",
+                F.when(F.col("anc").isNull(), F.lit(None))
+                .otherwise(F.col("anc2"))
+                .alias("anc"),
+                (F.col("depth") + F.coalesce(F.col("d2"), F.lit(0))).alias("depth"),
+            )
+        ).localCheckpoint()  # truncate the doubling lineage each round
+        cur = nxt
+    else:
+        # a cycle's pointers never reach NULL (depths double forever), so
+        # exhausting the doubling budget IS the cycle detector
+        raise ValueError(
+            f"region tier deeper than 2^{_MAX_DOUBLINGS} or cyclic"
+        )
+    depths = cur.select("region", "depth")
+    parents = edges.select("region", "parent")
+    leaves = edges.select(
+        F.col("parent").alias("region"), F.lit(False).alias("is_leaf")
+    ).distinct()
+    return (
+        parents.join(depths, "region")
+        .join(leaves, "region", "left")
+        .select(
+            "region",
+            "parent",
+            F.col("depth").cast("int").alias("depth"),
+            F.coalesce("is_leaf", F.lit(True)).alias("is_leaf"),
+        )
+    )
+
+
+def resolve_region(tier: DataFrame, name: str) -> str:
+    """Fuzzy-resolve ``name`` against the tier's region names (the
+    reference's validate_subregion_name contract: best match or raise)."""
+    names = [r[0] for r in tier.select("region").distinct().collect()]
+    hit = find_similar_str(name, names)
+    if hit is None:
+        raise InvalidNameError(name, sorted(names))
+    return hit
+
+
+def descendants(tier: DataFrame, name: str, leaves_only: bool = True) -> DataFrame:
+    """All regions strictly below ``name`` (fuzzy-resolved), via
+    depth-bounded iterative expansion (depth levels are few even for a
+    planet-wide tier; each step is one equi-join on parent)."""
+    root = resolve_region(tier, name)
+    max_depth = tier.agg(F.max("depth")).collect()[0][0] or 0
+    frontier = tier.filter(F.col("parent") == root).select("region")
+    out = frontier
+    for _ in range(int(max_depth)):
+        frontier = (
+            tier.join(
+                frontier.select(F.col("region").alias("parent")), "parent"
+            ).select("region")
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    res = out.distinct().join(tier, "region").select("region", "depth", "is_leaf")
+    return res.filter(F.col("is_leaf")) if leaves_only else res
+
+
+def get_subregions(tier: DataFrame, *names: str, deep: bool = False) -> list:
+    """Reference ``get_subregions`` semantics
+    (downloader/geofabrik.py:1316-1390): no names -> every region with no
+    subregions; names -> their direct children; ``deep=True`` -> expand
+    children that have their own subregions down to leaves.  Returns a
+    sorted name list (the reference's return type)."""
+    if not names:
+        rows = tier.filter(F.col("is_leaf")).select("region").collect()
+        return sorted(r[0] for r in rows)
+    out = []
+    for n in names:
+        if deep:
+            rows = descendants(tier, n, leaves_only=True).select("region").collect()
+        else:
+            root = resolve_region(tier, n)
+            rows = tier.filter(F.col("parent") == root).select("region").collect()
+        out.extend(r[0] for r in rows)
+    return sorted(dict.fromkeys(out))
+
+
+def ingest_subregions(
+    df: DataFrame,
+    tier: DataFrame,
+    names: list,
+    base_dir: str,
+    region_col: str = "region",
+    run_id: str = "run",
+    fail_after: int | None = None,
+    batch_size: int = 1,
+) -> CommitResult:
+    """Tier-driven multi-region ingest: expand ``names`` to leaf
+    subregions, filter ``df`` to those leaves, and commit per-leaf
+    partitions through PartitionedCheckpoint — idempotent resume +
+    per-region lineage rows come from the checkpoint contract.  The
+    engine form of the reference's "download every subregion of X, skip
+    ones already present" loop."""
+    leaves = get_subregions(tier, *names, deep=True) if names else get_subregions(tier)
+    ck = PartitionedCheckpoint(base_dir, region_col)
+    sub = df.filter(F.col(region_col).isin(leaves))
+    return ck.run(sub, run_id=run_id, fail_after=fail_after, batch_size=batch_size)

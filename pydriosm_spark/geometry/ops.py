@@ -242,3 +242,60 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlmb = np.radians(np.asarray(lon2)) - np.radians(np.asarray(lon1))
     a = np.sin(dphi / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
     return 2.0 * R * np.arcsin(np.sqrt(a))
+
+
+def polygon_measures_wkt_batch(wkt) -> tuple[np.ndarray, np.ndarray]:
+    """(areas, perimeters) for a batch of POLYGON WKTs — genuinely
+    batch-vectorized: ONE string split over the whole batch feeds a
+    single coordinate matrix, and per-ring/per-polygon sums run as
+    ``np.add.reduceat`` over offset arrays.  No per-row Python in the
+    numeric path (the round-2 `.map(lambda)` anti-pattern this replaces);
+    semantics identical to :func:`polygon_area` / :func:`polygon_perimeter`
+    (holes subtract; unclosed rings close implicitly).
+    """
+    import pandas as pd
+
+    s = pd.Series(wkt).reset_index(drop=True)
+    if not s.str.match(r"^\s*POLYGON\s*\(").all():
+        raise ValueError("polygon_measures_wkt_batch handles POLYGON WKT only")
+    body = s.str.replace(r"^\s*POLYGON\s*\(\(", "", regex=True).str.replace(
+        r"\)\)\s*$", "", regex=True
+    )
+    rings = body.str.split(r"\)\s*,\s*\(", regex=True).explode()
+    poly_of_ring = rings.index.to_numpy(dtype=np.int64)
+    ring_strs = rings.to_numpy(dtype=object)
+    n_verts = np.fromiter(
+        (r.count(",") + 1 for r in ring_strs), dtype=np.int64, count=len(ring_strs)
+    )
+    coords = np.array(
+        ",".join(ring_strs).replace(",", " ").split(), dtype=np.float64
+    ).reshape(-1, 2)
+    x, y = coords[:, 0], coords[:, 1]
+    starts = np.concatenate(([0], np.cumsum(n_verts)[:-1]))
+    ends = starts + n_verts - 1  # last vertex index per ring
+
+    # consecutive-pair terms over the whole matrix; cross-ring pairs zeroed
+    cx = np.zeros(len(x), dtype=np.float64)
+    sl = np.zeros(len(x), dtype=np.float64)
+    cx[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    d = np.diff(coords, axis=0)
+    sl[:-1] = np.sqrt((d * d).sum(axis=1))
+    cx[ends] = 0.0
+    sl[ends] = 0.0
+    ring_cx = np.add.reduceat(cx, starts)
+    ring_len = np.add.reduceat(sl, starts)
+    # implicit closure for rings whose first vertex != last
+    open_ring = (x[starts] != x[ends]) | (y[starts] != y[ends])
+    ring_cx += np.where(open_ring, x[ends] * y[starts] - x[starts] * y[ends], 0.0)
+    ring_len += np.where(
+        open_ring, np.hypot(x[ends] - x[starts], y[ends] - y[starts]), 0.0
+    )
+    ring_area = np.abs(ring_cx) / 2.0
+
+    first_ring = np.empty(len(ring_area), dtype=bool)
+    first_ring[0] = True
+    first_ring[1:] = poly_of_ring[1:] != poly_of_ring[:-1]
+    poly_starts = np.nonzero(first_ring)[0]
+    areas = np.add.reduceat(np.where(first_ring, ring_area, -ring_area), poly_starts)
+    perims = np.add.reduceat(ring_len, poly_starts)
+    return areas, perims

@@ -324,43 +324,76 @@ def with_simhash(
 SIMHASH_BLOCKS = 4
 
 
+def simhash_key_subsets(radius: int, blocks: int) -> list[tuple]:
+    """The composite-key block subsets a radius-``r`` complete search
+    needs: any pair within Hamming distance r differs in at most r
+    blocks, so it AGREES on some (blocks - r)-subset — joining on every
+    such subset is complete by pigeonhole (Manku et al., WWW'07 block
+    rotation, generalized to arbitrary radius).  C(blocks, r) keys per
+    signature; radius 3 with 4 blocks degenerates to the classic
+    one-key-per-block form."""
+    from itertools import combinations
+
+    if not 1 <= radius < blocks:
+        raise ValueError(
+            f"radius must be in [1, blocks-1]; got radius={radius} blocks={blocks}"
+        )
+    if SIMHASH_BITS % blocks:
+        raise ValueError(f"blocks={blocks} must divide {SIMHASH_BITS}")
+    return list(combinations(range(blocks), blocks - radius))
+
+
+def simhash_composite_sql(sig: str, subset: tuple, bits: int, dialect: str) -> str:
+    """SQL for one composite key: the subset's block values packed into a
+    single BIGINT (block j of the subset lands at bit j*bits)."""
+    mask = (1 << bits) - 1
+    parts = []
+    for j, s in enumerate(subset):
+        if dialect == "spark":
+            v = f"(shiftright({sig}, {s * bits}) & {mask})"
+            parts.append(f"shiftleft({v}, {j * bits})" if j else v)
+        else:
+            v = f"(({sig} >> {s * bits}) & {mask})"
+            parts.append(f"({v} << {j * bits})" if j else v)
+    return "(" + " + ".join(parts) + ")"
+
+
 def simhash_pairs(
     df: DataFrame,
     key: str = "doc_id",
     text: str = "text",
     radius: int = 3,
+    blocks: int = SIMHASH_BLOCKS,
     max_bucket: int = 64,
 ) -> DataFrame:
     """Hamming-ball near-dup pairs over SimHash signatures — the bucketed
     block-rotation search (Manku et al.'s SimHash dedup shape): split the
-    60-bit signature into SIMHASH_BLOCKS exact blocks; by pigeonhole any
-    pair within Hamming distance <= SIMHASH_BLOCKS - 1 shares at least
-    one block, so candidates come from ONE equi-join on (block, value)
-    and the exact bit_count(xor) verify touches candidates only — never
-    all pairs.  ``max_bucket`` caps viral blocks (all-identical content)
-    exactly like the MinHash banding guard.
+    60-bit signature into ``blocks`` exact blocks and join on every
+    (blocks - radius)-subset composite key (:func:`simhash_key_subsets`)
+    — complete for any ``radius < blocks`` by pigeonhole, so candidates
+    come from ONE equi-join on (subset_id, composite_value) and the exact
+    bit_count(xor) verify touches candidates only — never all pairs.
+    ``max_bucket`` caps viral keys (all-identical content) exactly like
+    the MinHash banding guard.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= radius.
     """
-    if radius >= SIMHASH_BLOCKS:
-        raise ValueError(
-            f"radius {radius} needs > {radius} blocks for a complete "
-            f"pigeonhole search (have {SIMHASH_BLOCKS})"
-        )
-    bits = SIMHASH_BITS // SIMHASH_BLOCKS
-    mask = (1 << bits) - 1
+    subsets = simhash_key_subsets(radius, blocks)
+    bits = SIMHASH_BITS // blocks
     sig = simhash_signature(df, key, text)
-    blocks = F.array(
+    key_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.expr(f"shiftright(simhash, {i * bits}) & {mask}").alias("val"),
+                F.expr(
+                    simhash_composite_sql("simhash", subset, bits, "spark")
+                ).alias("val"),
             )
-            for i in range(SIMHASH_BLOCKS)
+            for i, subset in enumerate(subsets)
         ]
     )
     b = (
-        sig.withColumn("__b", F.explode(blocks))
+        sig.withColumn("__b", F.explode(key_arr))
         .select(key, "simhash", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"))
         .withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("blk", "val")))
         .filter(F.col("bn") <= max_bucket)

@@ -46,6 +46,38 @@ N_TABLES = 8
 QUANT = 1_000_000
 #: index-side cap for the broadcast brute-force plan (~dim x 8 bytes each)
 MAX_INDEX_ROWS = 2_000_000
+#: LSH sizing: planes chosen so the expected bucket holds ~TARGET_BUCKET
+#: vectors — candidates/query then stay ~ N_TABLES * probes * TARGET_BUCKET,
+#: INDEPENDENT of N (the round-2 lesson: fixed plane counts degenerate
+#: toward all-pairs as N grows)
+TARGET_BUCKET = 64
+#: guided multi-probe width: the 3 lowest-|dot| planes per table are the
+#: most likely sign flips -> probes = base + 3 single + 3 pair flips = 7
+N_GUIDED = 3
+MAX_PLANES = 24
+
+
+def ceil_log2(m: int) -> int:
+    """Smallest p with 2^p >= m (0 for m <= 1) — integer-exact, mirrored
+    in SQL as ``length(bin(m - 1))`` (both engines' bin() emits no
+    leading zeros, so string length == bit_length)."""
+    return (m - 1).bit_length() if m > 1 else 0
+
+
+def sized_lsh_planes(n: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """``n_planes ~ log2(N / target_bucket)``, clamped to [3, MAX_PLANES].
+    Identical arithmetic to the oracle's pp CTE (queries_text.py)."""
+    m = (n + target_bucket - 1) // target_bucket
+    return max(3, min(MAX_PLANES, ceil_log2(m)))
+
+
+def sized_ivf_params(n: int) -> tuple:
+    """(n_lists, n_probe): ~sqrt(N) lists as the nearest power of two
+    (integer-exact cross-engine, unlike float sqrt), probing 1/8 of them
+    with a floor of 8 — measured recall >= 0.8 at 500 and 8000 vectors
+    (tests/test_ann_scaling.py, test_invariants.py)."""
+    n_lists = 1 << (ceil_log2(n) // 2)
+    return n_lists, min(n_lists, max(8, n_lists // 8))
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -243,17 +275,72 @@ def _rerank(
 
 
 def multiprobe(buckets: DataFrame, n_flips: int = N_PLANES) -> DataFrame:
-    """Query-side multi-probe expansion: each (table, bucket) also probes
-    the ``n_flips`` single-bit-flip neighbor buckets — the standard
-    multi-probe LSH recall lift (a near-dup pair collides if any table's
-    signatures are within Hamming distance 1, not only equal).  Index
-    side stays single-bucket, so the join fan-out is query-side only."""
+    """Blind query-side multi-probe: each (table, bucket) also probes ALL
+    ``n_flips`` single-bit-flip neighbors.  Superseded on the ANN path by
+    :func:`lsh_probes` (distance-guided — same recall from fewer, better
+    probes); kept for comparison tests."""
     flips = F.array(
         F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(n_flips)]
     )
     return buckets.select(
         buckets.columns[0], "table", F.explode(flips).alias("bucket")
     )
+
+
+def lsh_probes(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_guided: int = N_GUIDED,
+) -> DataFrame:
+    """Distance-GUIDED multi-probe buckets (Lv et al., 'Multi-Probe LSH',
+    VLDB'07 shape): a query's most likely sign flips are the planes it
+    lies closest to, so probe the base bucket, the ``n_guided``
+    smallest-|dot| single flips, and their pair flips — 1 + g + C(g,2)
+    probes/table (7 at g=3) instead of n_planes+1 blind flips.  Probe
+    count is INDEPENDENT of n_planes, so recall holds as sizing deepens
+    the bucket space.  Tie-break (|dot| asc, plane asc) over exact
+    integer dots -> bit-reproducible in SQL (oracle mirrors via
+    row_number).  Emits (id, table, bucket) probe rows — index side stays
+    single-bucket (:func:`lsh_buckets`), fan-out is query-side only."""
+    P = np.concatenate(
+        [_planes(dim, t, n_planes) for t in range(N_TABLES)]
+    ).astype(np.int64)
+    pows = (1 << np.arange(n_planes, dtype=np.int64))
+    pairs = [(a, b) for a in range(n_guided) for b in range(a + 1, n_guided)]
+
+    schema = f"{id_col} long, table int, bucket int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            Q = _qmat(b[vec_col])
+            n = len(Q)
+            D = (Q @ P.T).reshape(n, N_TABLES, n_planes)
+            bk = ((D > 0).astype(np.int64) * pows).sum(axis=2)  # (n, T)
+            A = np.abs(D)
+            idx = np.broadcast_to(np.arange(n_planes), A.shape)
+            order = np.lexsort((idx, A), axis=2)[:, :, :n_guided]  # (n,T,g)
+            flip = (1 << order.astype(np.int64))  # bucket xor masks
+            probes = [bk]
+            for g in range(n_guided):
+                probes.append(bk ^ flip[:, :, g])
+            for a, c in pairs:
+                probes.append(bk ^ flip[:, :, a] ^ flip[:, :, c])
+            pk = np.stack(probes, axis=2)  # (n, T, n_probes)
+            n_pr = pk.shape[2]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(b[id_col].to_numpy(), N_TABLES * n_pr),
+                    "table": np.tile(
+                        np.repeat(np.arange(N_TABLES, dtype=np.int32), n_pr), n
+                    ),
+                    "bucket": pk.astype(np.int32).ravel(),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def cosine_topk_lsh(
@@ -263,14 +350,21 @@ def cosine_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
+    n_planes: int | None = None,
 ) -> DataFrame:
-    """ANN top-k via multi-probe LSH candidates + exact re-rank
+    """ANN top-k via guided multi-probe LSH candidates + exact re-rank
     (approximate, recall-gated; fully SQL-oracled via integer
-    quantization).  ``n_planes`` is the selectivity knob — see
-    lsh_buckets' sizing rule."""
+    quantization).  ``n_planes=None`` (the default) SELF-SIZES from the
+    table count via :func:`sized_lsh_planes` — candidates/query then
+    stay ~ N_TABLES * 7 * TARGET_BUCKET regardless of N, and the oracle
+    computes the same rule from count(*) so one SQL string is correct at
+    every scale."""
+    if n_planes is None:
+        n_planes = sized_lsh_planes(emb.count())
     b = lsh_buckets(emb, dim, id_col, vec_col, n_planes)
-    a = multiprobe(b, n_flips=n_planes).select(F.col(id_col).alias("qid"), "table", "bucket")
+    a = lsh_probes(emb, dim, id_col, vec_col, n_planes).select(
+        F.col(id_col).alias("qid"), "table", "bucket"
+    )
     c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
     cand = (
         a.join(c, ["table", "bucket"])
@@ -395,8 +489,8 @@ def cosine_topk_ivf(
     spark: SparkSession,
     emb: DataFrame,
     k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 4,
+    n_lists: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -404,7 +498,15 @@ def cosine_topk_ivf(
     keyed by centroid -> each query probes its ``n_probe`` nearest lists
     -> exact re-rank of candidates.  At scale the lists shard the index
     and queries co-partition by probed list id — an equi-join, never a
-    cross join.  Fully SQL-oracled (integer-exact arithmetic)."""
+    cross join.  Fully SQL-oracled (integer-exact arithmetic).
+
+    ``n_lists=None`` / ``n_probe=None`` SELF-SIZE from the table count
+    (:func:`sized_ivf_params`: ~sqrt(N) lists, probe 1/8 of them, floor
+    8) — the oracle computes the same rule from count(*)."""
+    if n_lists is None or n_probe is None:
+        sl, sp = sized_ivf_params(emb.count())
+        n_lists = sl if n_lists is None else n_lists
+        n_probe = sp if n_probe is None else n_probe
     cents = kmeans_fit(emb, k=n_lists, id_col=id_col, vec_col=vec_col)
     bc = spark.sparkContext.broadcast(cents)
     raw = emb.select(id_col, vec_col)

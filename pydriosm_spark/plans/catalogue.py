@@ -1,0 +1,88 @@
+"""Queryable ingest catalogue — the engine's analogue of the reference's
+download catalogue (/root/reference/pydriosm/downloader/geofabrik.py:758-831
+builds a (subregion, url, .osm.pbf size, .shp.zip size, ...) table the
+user queries before downloading).  Here the facts come from the commit
+manifest + the actual storage listing, so the catalogue answers the
+resume-planning questions a 10^12-row ingest actually has:
+
+* what partitions exist, in what format, at what size on disk,
+* which committed partitions lost their files (storage rot -> re-ingest),
+* which on-disk directories were never committed (dead runs -> rewrite),
+* what remains of a target partition list (the per-leaf ingest frontier).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pydriosm_spark.plans.checkpoint import PartitionedCheckpoint
+
+CATALOG_SCHEMA = (
+    "partition string, format string, n_files int, bytes long, "
+    "rows long, committed_at_run string, committed boolean, on_disk boolean"
+)
+
+
+def _dir_stats(path: str) -> tuple:
+    """(n_data_files, total_bytes) under one partition directory."""
+    n, b = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / hidden markers are not data
+            n += 1
+            b += os.path.getsize(os.path.join(root, f))
+    return n, b
+
+
+def catalogue(spark: SparkSession, ck: PartitionedCheckpoint) -> DataFrame:
+    """One row per partition known to the manifest OR present on disk.
+    ``committed AND NOT on_disk`` = storage rot; ``on_disk AND NOT
+    committed`` = a dead run's leftovers (the next resume rewrites it).
+    Format is taken from the data file extensions actually present."""
+    done = ck.committed()
+    dirs = ck._partition_dirs()
+    rows = []
+    for part in sorted(set(done) | set(dirs)):
+        entry = done.get(part)
+        path = dirs.get(part)
+        n_files, n_bytes, fmt = 0, 0, None
+        if path is not None:
+            n_files, n_bytes = _dir_stats(path)
+            exts = {
+                os.path.splitext(f)[1].lstrip(".")
+                for _r, _d, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            }
+            fmt = ",".join(sorted(exts)) or None
+        rows.append(
+            (
+                part,
+                fmt,
+                n_files,
+                n_bytes,
+                entry["rows"] if entry else None,
+                entry["committed_at_run"] if entry else None,
+                entry is not None,
+                path is not None and n_files > 0,
+            )
+        )
+    return spark.createDataFrame(rows, CATALOG_SCHEMA)
+
+
+def pending(spark: SparkSession, ck: PartitionedCheckpoint, targets: list) -> list:
+    """Resume frontier: which of ``targets`` still need a (re-)ingest —
+    never committed, or committed but with missing/empty data on disk."""
+    cat = {
+        r["partition"]: r
+        for r in catalogue(spark, ck).collect()
+    }
+    out = []
+    for t in targets:
+        r = cat.get(str(t))
+        if r is None or not (r["committed"] and r["on_disk"]):
+            out.append(t)
+    return out

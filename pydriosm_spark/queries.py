@@ -119,29 +119,32 @@ def q_vectorize_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zone_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry measurement functions (ST_Area / ST_Length analogues):
-    WKT -> shoelace area + ring perimeter in a vectorized Arrow kernel,
-    integer-scaled for exact oracle comparison.  ``sf_dir`` unused
-    (pure geometry) but kept for the uniform signature."""
-    from pyspark.sql.types import LongType
+    WKT -> shoelace area + ring perimeter in ONE batch-vectorized Arrow
+    kernel (single struct UDF: one parse, both measures; numeric path is
+    reduceat over the whole batch — no per-row lambda), integer-scaled
+    for exact oracle comparison.  ``sf_dir`` unused (pure geometry) but
+    kept for the uniform signature."""
+    import numpy as np
 
-    from pydriosm_spark.geometry.ops import polygon_area, polygon_perimeter
-    from pydriosm_spark.geometry.wkt import parse_wkt
+    from pydriosm_spark.geometry.ops import polygon_measures_wkt_batch
 
     zones = synth.polygons_df(spark, "zones")
 
-    @F.pandas_udf(LongType())
-    def area_e10(wkt: pd.Series) -> pd.Series:
-        return wkt.map(lambda w: int(round(polygon_area(parse_wkt(w)[1]) * 1e10)))
-
-    @F.pandas_udf(LongType())
-    def perimeter_e5(wkt: pd.Series) -> pd.Series:
-        return wkt.map(lambda w: int(round(polygon_perimeter(parse_wkt(w)[1]) * 1e5)))
+    @F.pandas_udf("area_e10 long, perimeter_e5 long")
+    def measures(wkt: pd.Series) -> pd.DataFrame:
+        areas, perims = polygon_measures_wkt_batch(wkt)
+        # np.round is banker's like the Python round() this replaces
+        return pd.DataFrame(
+            {
+                "area_e10": np.round(areas * 1e10).astype(np.int64),
+                "perimeter_e5": np.round(perims * 1e5).astype(np.int64),
+            }
+        )
 
     return zones.select(
         F.col("feature_id").cast("long").alias("feature_id"),
-        area_e10("geometry_wkt").alias("area_e10"),
-        perimeter_e5("geometry_wkt").alias("perimeter_e5"),
-    )
+        measures("geometry_wkt").alias("m"),
+    ).select("feature_id", "m.area_e10", "m.perimeter_e5")
 
 
 def oracle_zone_measures() -> str:
@@ -438,15 +441,8 @@ def registry() -> dict:
         "grid_cluster": (q_grid_cluster, oracle_grid_cluster()),
         "zone_measures": (q_zone_measures, oracle_zone_measures()),
     }
-    from pydriosm_spark import queries_layers
+    from pydriosm_spark import queries_layers, queries_media, queries_rel, queries_text
 
-    out.update(queries_layers.registry())
-    for modname in ("queries_text", "queries_rel", "queries_media"):
-        try:
-            import importlib
-
-            mod = importlib.import_module(f"pydriosm_spark.{modname}")
-            out.update(mod.registry())
-        except ModuleNotFoundError:
-            pass
+    for mod in (queries_layers, queries_text, queries_rel, queries_media):
+        out.update(mod.registry())
     return out

@@ -158,10 +158,71 @@ FROM documents
 GROUP BY 1, 2, 3"""
 
 
+def _tier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level tier edges from the region/nation dimension tables:
+    world -> 5 regions -> 25 nations (roots carry parent NULL)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    root = spark.createDataFrame([("world", None)], "region string, parent string")
+    lvl1 = region.select(F.col("r_name").alias("region"), F.lit("world").alias("parent"))
+    lvl2 = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_name").alias("region"), F.col("r_name").alias("parent")
+    )
+    return root.unionByName(lvl1).unionByName(lvl2)
+
+
+def q_region_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The region-subregion tier dimension (region, parent, depth,
+    is_leaf) computed by the pointer-doubling tier operator — the
+    engine's form of the reference's _compile_region_subregion_tier
+    (downloader/geofabrik.py:602-651)."""
+    from pydriosm_spark.functions.regions import tier_from_edges
+
+    return tier_from_edges(_tier_edges(spark, sf_dir))
+
+
+def oracle_region_tier() -> str:
+    return """
+WITH RECURSIVE edges AS (
+  SELECT 'world' AS region, NULL AS parent
+  UNION ALL SELECT r_name, 'world' FROM region
+  UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+d AS (
+  SELECT region, parent, 0 AS depth FROM edges WHERE parent IS NULL
+  UNION ALL
+  SELECT e.region, e.parent, d.depth + 1 FROM edges e JOIN d ON e.parent = d.region
+)
+SELECT d.region, d.parent, CAST(d.depth AS INT) AS depth,
+       d.region NOT IN (SELECT parent FROM edges WHERE parent IS NOT NULL) AS is_leaf
+FROM d"""
+
+
+def q_region_subregions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep leaf expansion of a fuzzy-resolved region name ('amerca' ->
+    AMERICA -> its nations) — the reference's get_subregions(deep=True)
+    front door (downloader/geofabrik.py:1316-1390)."""
+    from pydriosm_spark.functions.regions import descendants, tier_from_edges
+
+    tier = tier_from_edges(_tier_edges(spark, sf_dir))
+    return descendants(tier, "amerca", leaves_only=True).select(
+        "region", F.col("depth").cast("int").alias("depth")
+    )
+
+
+def oracle_region_subregions() -> str:
+    return """
+SELECT n_name AS region, CAST(2 AS INT) AS depth
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'"""
+
+
 def registry() -> dict:
     return {
         "layer_geojson_wkt": (q_layer_wkt, oracle_layer_wkt()),
         "hstore_parse": (q_hstore, oracle_hstore()),
         "fclass_filter_counts": (q_fclass_counts, oracle_fclass_counts()),
         "layer_merge_regions": (q_layer_merge, oracle_layer_merge()),
+        "region_tier": (q_region_tier, oracle_region_tier()),
+        "region_subregions_deep": (q_region_subregions, oracle_region_subregions()),
     }

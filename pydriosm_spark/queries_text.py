@@ -287,11 +287,19 @@ WITH h AS (
 SELECT doc_id, {total} AS simhash FROM h"""
 
 
-def oracle_simhash_pairs(radius: int = 3, max_bucket: int = 64) -> str:
+def oracle_simhash_pairs(
+    radius: int = 3, blocks: int = dedup.SIMHASH_BLOCKS, max_bucket: int = 64
+) -> str:
+    """Mirrors dedup.simhash_pairs at any (radius, blocks): one
+    (subset_id, composite_value) key per (blocks-radius)-subset."""
     hashes, total = dedup.simhash_fragments("text", "duckdb")
-    nb = dedup.SIMHASH_BLOCKS
-    bits = dedup.SIMHASH_BITS // nb
-    mask = (1 << bits) - 1
+    subsets = dedup.simhash_key_subsets(radius, blocks)
+    bits = dedup.SIMHASH_BITS // blocks
+    keys = ", ".join(
+        f"struct_pack(blk := {i}, val := "
+        f"{dedup.simhash_composite_sql('simhash', subset, bits, 'duckdb')})"
+        for i, subset in enumerate(subsets)
+    )
     return f"""
 WITH h AS (
   SELECT doc_id, {hashes} AS __h, len({hashes}) AS __n FROM documents
@@ -299,9 +307,9 @@ WITH h AS (
 s AS (SELECT doc_id, {total} AS simhash FROM h),
 b AS (
   SELECT doc_id, simhash, blk, val FROM (
-    SELECT doc_id, simhash, r.i AS blk, (simhash >> (r.i * {bits})) & {mask} AS val,
-           count(*) OVER (PARTITION BY r.i, (simhash >> (r.i * {bits})) & {mask}) AS bn
-    FROM s, range(0, {nb}) r(i)
+    SELECT doc_id, simhash, u.k.blk AS blk, u.k.val AS val,
+           count(*) OVER (PARTITION BY u.k.blk, u.k.val) AS bn
+    FROM (SELECT doc_id, simhash, [{keys}] AS kl FROM s), unnest(kl) u(k)
   ) WHERE bn <= {max_bucket}
 ),
 cand AS (
@@ -341,26 +349,77 @@ def _lsh_bucket_exprs() -> list[str]:
     return out
 
 
+def _lsh_dot_arrays(n_planes: int) -> list[str]:
+    """One DuckDB expression per plane table: the array of ``n_planes``
+    exact integer plane dots (as DOUBLE — exact below 2^53), mirroring
+    the numpy kernels in similarity.lsh_buckets/lsh_probes."""
+    out = []
+    for t in range(similarity.N_TABLES):
+        P = similarity._planes(DIM, t, n_planes)
+        dots = []
+        for p in range(n_planes):
+            coefs = ", ".join(str(int(c)) for c in P[p])
+            dots.append(f"list_dot_product(qv::DOUBLE[], [{coefs}]::DOUBLE[])")
+        out.append("[" + ", ".join(dots) + "]")
+    return out
+
+
 def oracle_ann_lsh() -> str:
+    """Self-sizing guided-multi-probe LSH oracle.  The plane count is
+    computed from count(*) IN SQL with the same integer rule the engine
+    uses (similarity.sized_lsh_planes — ceil_log2 via length(bin(m-1))),
+    so this one string is correct at any table size; buckets mask the
+    first np of MAX_PLANES static plane dots, and the probe set is the
+    base bucket + single and pair flips of the 3 lowest-|dot| planes
+    (row_number tie-break (|d|, p) == the kernel's lexsort)."""
     qz = similarity.quantize_sql("embedding", "duckdb")
+    MP, TB, G = similarity.MAX_PLANES, similarity.TARGET_BUCKET, similarity.N_GUIDED
     packs = ", ".join(
-        f"struct_pack(t := {t}, bucket := {e})" for t, e in enumerate(_lsh_bucket_exprs())
-    )
-    flips = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(similarity.N_PLANES)]
+        f"struct_pack(t := {t}, dots := {e})"
+        for t, e in enumerate(_lsh_dot_arrays(MP))
     )
     return f"""
 WITH e AS (SELECT vec_id, {qz} AS qv FROM embeddings),
-b AS (
-  SELECT vec_id, u.s.t AS tbl, u.s.bucket AS bucket
+nn AS (SELECT count(*) AS n FROM e),
+pp AS (
+  SELECT greatest(3, least({MP},
+    CASE WHEN (n + {TB - 1}) // {TB} <= 1 THEN 0
+         ELSE length(bin((n + {TB - 1}) // {TB} - 1)) END)) AS np
+  FROM nn
+),
+dt AS (
+  SELECT vec_id, u.s.t AS tbl, u.s.dots AS dots
   FROM (SELECT vec_id, [{packs}] AS bl FROM e), unnest(bl) u(s)
 ),
-p AS (
-  SELECT vec_id, tbl, unnest([{flips}]) AS bucket FROM b
+pl AS (
+  SELECT vec_id, tbl, r.i AS p, dots[r.i + 1] AS d
+  FROM dt, pp, range(0, {MP}) r(i) WHERE r.i < pp.np
+),
+bk AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN d > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM pl GROUP BY vec_id, tbl
+),
+tg AS (
+  SELECT vec_id, tbl, p FROM (
+    SELECT vec_id, tbl, p,
+           row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(d) ASC, p ASC) AS r
+    FROM pl
+  ) WHERE r <= {G}
+),
+pr AS (
+  SELECT vec_id, tbl, bucket FROM bk
+  UNION
+  SELECT t.vec_id, t.tbl, xor(b.bucket, 1::BIGINT << t.p)
+  FROM tg t JOIN bk b ON b.vec_id = t.vec_id AND b.tbl = t.tbl
+  UNION
+  SELECT a.vec_id, a.tbl, xor(xor(b.bucket, 1::BIGINT << a.p), 1::BIGINT << c.p)
+  FROM tg a JOIN tg c ON a.vec_id = c.vec_id AND a.tbl = c.tbl AND a.p < c.p
+  JOIN bk b ON b.vec_id = a.vec_id AND b.tbl = a.tbl
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid
-  FROM p a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  FROM pr a JOIN bk c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
 ),
 rr AS (
   SELECT cand.qid, cand.nid, {similarity.qcosine_sql('ea.qv', 'eb.qv')} AS sim
@@ -406,20 +465,29 @@ def _ivf_assign_cte(name: str, cents: str) -> str:
 )"""
 
 
-def oracle_ann_ivf(n_lists: int = 16, n_probe: int = 4, iterations: int = 5) -> str:
+def oracle_ann_ivf(iterations: int = 5) -> str:
     """Unrolled distributed-Lloyd oracle: every iteration's assignment +
     integer re-quantized mean is exact arithmetic, so the final inverted
-    lists, probes, and re-rank equal similarity.cosine_topk_ivf's."""
+    lists, probes, and re-rank equal similarity.cosine_topk_ivf's.
+    n_lists / n_probe are computed from count(*) IN SQL with the engine's
+    integer sizing rule (similarity.sized_ivf_params: nl = 2^(ceil_log2(N)
+    //2), probe = min(nl, max(8, nl//8))) — one string, any scale."""
     qz = similarity.quantize_sql("embedding", "duckdb")
     parts = [
         f"e AS (SELECT vec_id, {qz} AS qv FROM embeddings)",
         "nn AS (SELECT count(*) AS n FROM e)",
-        f"""c0 AS (
+        """pp AS (
+  SELECT n,
+         CASE WHEN n <= 1 THEN 1
+              ELSE 1::BIGINT << (length(bin(n - 1)) // 2) END AS nl
+  FROM nn
+)""",
+        """c0 AS (
   SELECT row_number() OVER (ORDER BY rn) - 1 AS list_id, qv AS cent
   FROM (SELECT qv, rn
-        FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e), nn
-        WHERE rn % greatest(nn.n // {n_lists}, 1) = 0
-        ORDER BY rn LIMIT {n_lists})
+        FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e), pp
+        WHERE rn % greatest(pp.n // pp.nl, 1) = 0
+        QUALIFY row_number() OVER (ORDER BY rn) <= pp.nl)
 )""",
     ]
     for i in range(1, iterations + 1):
@@ -442,7 +510,10 @@ def oracle_ann_ivf(n_lists: int = 16, n_probe: int = 4, iterations: int = 5) -> 
         )
     parts.append(_ivf_assign_cte("af", f"c{iterations}"))
     parts.append("idx AS (SELECT vec_id AS nid, list_id FROM af WHERE rn = 1)")
-    parts.append(f"pr AS (SELECT vec_id AS qid, list_id FROM af WHERE rn <= {n_probe})")
+    parts.append(
+        "pr AS (SELECT vec_id AS qid, list_id FROM af, pp "
+        "WHERE af.rn <= least(pp.nl, greatest(8, pp.nl // 8)))"
+    )
     parts.append(
         "cand AS (SELECT DISTINCT pr.qid, idx.nid FROM pr JOIN idx USING (list_id) WHERE pr.qid <> idx.nid)"
     )

@@ -65,10 +65,11 @@ def test_ann_recall_floor(spark):
     exact = _canon(Q.registry()["cosine_topk"][0](spark, SF_SMOKE))
     e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
     recalls = {}
-    for name, floor in (("ann_lsh", 0.40), ("ann_ivf", 0.50)):
+    # self-sized selectivity + guided multi-probe (LSH) / probe scaling
+    # (IVF) hold 0.8 even on this unstructured fixture (no near-dup
+    # structure: recall here tracks candidate coverage, the hardest case)
+    for name, floor in (("ann_lsh", 0.80), ("ann_ivf", 0.80)):
         approx = _canon(Q.registry()[name][0](spark, SF_SMOKE))
         a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
         recalls[name] = len(e & a) / len(e)
         assert recalls[name] >= floor, f"{name} recall {recalls[name]:.3f} below {floor}"
-    # the IVF path should beat random-hyperplane LSH on this data
-    assert recalls["ann_ivf"] >= recalls["ann_lsh"], recalls

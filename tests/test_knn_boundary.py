@@ -55,10 +55,15 @@ def test_boundary_exact_candidate_matches_bruteforce(spark, boundary_case):
     assert got[(1, 0, 2)] == (5, 25)
 
 
-def test_simhash_pairs_complete_within_radius(spark):
-    """Pigeonhole completeness: simhash_pairs must find EVERY pair whose
-    signatures are within Hamming distance 3 (brute-force verified on a
-    corpus engineered to contain near-identical docs)."""
+@pytest.mark.parametrize(
+    "radius,blocks",
+    [(2, 4), (3, 4), (4, 5), (4, 6)],
+)
+def test_simhash_pairs_complete_within_radius(spark, radius, blocks):
+    """Pigeonhole completeness at TUNABLE radius: with composite
+    (blocks - radius)-subset keys, simhash_pairs must find EVERY pair
+    whose signatures are within Hamming distance ``radius`` (brute-force
+    verified on a corpus engineered to contain near-identical docs)."""
     from pydriosm_spark.operators import dedup
 
     base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
@@ -77,16 +82,25 @@ def test_simhash_pairs_complete_within_radius(spark):
     ids = sorted(sigs)
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= radius:
                 want.add((a, b))
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_pairs(df).collect()
+        for r in dedup.simhash_pairs(df, radius=radius, blocks=blocks).collect()
     }
-    assert len(want) >= 10  # the fixture genuinely contains near-dups
+    assert len(want) >= (10 if radius >= 3 else 3)  # genuine near-dups
     assert set(got) == want, (len(got), len(want))
     for (a, b), h in got.items():
         assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+
+def test_simhash_pairs_rejects_bad_radius():
+    from pydriosm_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="radius"):
+        dedup.simhash_key_subsets(4, 4)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_key_subsets(2, 7)
 
 
 def test_boundary_point_is_uncertified(spark, boundary_case):

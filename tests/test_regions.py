@@ -1,0 +1,128 @@
+"""Region hierarchy tier + subregion expansion + tier-driven ingest
+(reference: downloader/geofabrik.py:602-651 _compile_region_subregion_tier,
+:1316-1390 get_subregions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydriosm_spark.functions.naming import InvalidNameError
+from pydriosm_spark.functions import regions as R
+
+
+EDGES = [
+    ("world", None),
+    ("europe", "world"),
+    ("n-america", "world"),
+    ("britain", "europe"),
+    ("france", "europe"),
+    ("england", "britain"),
+    ("scotland", "britain"),
+    ("wales", "britain"),
+    ("rutland", "england"),
+]
+
+
+@pytest.fixture()
+def tier(spark):
+    edges = spark.createDataFrame(EDGES, "region string, parent string")
+    return R.tier_from_edges(edges).cache()
+
+
+def test_tier_depths_and_leaves(tier):
+    got = {r["region"]: (r["depth"], r["is_leaf"]) for r in tier.collect()}
+    assert got == {
+        "world": (0, False),
+        "europe": (1, False),
+        "n-america": (1, True),
+        "britain": (2, False),
+        "france": (2, True),
+        "england": (3, False),
+        "scotland": (3, True),
+        "wales": (3, True),
+        "rutland": (4, True),
+    }
+
+
+def test_tier_cycle_raises(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("r", None)], "region string, parent string"
+    )
+    with pytest.raises(ValueError, match="cyclic"):
+        R.tier_from_edges(edges).collect()
+
+
+def test_get_subregions_matches_reference_semantics(tier):
+    # no names -> all regions having no subregions
+    assert R.get_subregions(tier) == [
+        "france", "n-america", "rutland", "scotland", "wales",
+    ]
+    # direct children only (get_subregions('britain') in the reference)
+    assert R.get_subregions(tier, "britain") == ["england", "scotland", "wales"]
+    # deep -> leaf descendants; fuzzy name resolution on the way in
+    assert R.get_subregions(tier, "britian", deep=True) == [
+        "rutland", "scotland", "wales",
+    ]
+    assert R.get_subregions(tier, "europe", deep=True) == [
+        "france", "rutland", "scotland", "wales",
+    ]
+    with pytest.raises(InvalidNameError):
+        R.get_subregions(tier, "zzzqqqvvv")
+
+
+def test_tier_ingest_resumes_per_leaf(spark, tier, tmp_path):
+    """'import europe' -> per-leaf checkpointed ingest: killed after 2
+    leaf commits, the resume writes ONLY the remaining leaves and the
+    lineage carries one row per region with true counts."""
+    data = spark.createDataFrame(
+        [(i, leaf) for i, leaf in enumerate(
+            ["france"] * 5 + ["rutland"] * 3 + ["scotland"] * 4 + ["wales"] * 2
+            + ["n-america"] * 7  # outside europe: must NOT be ingested
+        )],
+        "id long, region string",
+    )
+    base = str(tmp_path / "tier_ingest")
+    with pytest.raises(RuntimeError, match="injected"):
+        R.ingest_subregions(data, tier, ["europe"], base, fail_after=2, run_id="r1")
+    res = R.ingest_subregions(data, tier, ["europe"], base, run_id="r2")
+    assert len(res.skipped_partitions) == 2 and len(res.written_partitions) == 2
+    from pydriosm_spark.plans.checkpoint import PartitionedCheckpoint
+
+    ck = PartitionedCheckpoint(base, "region")
+    lineage = {r["region"]: r["rows"] for r in ck.lineage(spark).collect()}
+    assert lineage == {"france": 5, "rutland": 3, "scotland": 4, "wales": 2}
+    assert ck.read(spark).count() == 14
+    runs = {r["committed_at_run"] for r in ck.lineage(spark).collect()}
+    assert runs == {"r1", "r2"}
+
+
+def test_catalogue_answers_resume_planning(spark, tmp_path):
+    """The catalogue surface (reference geofabrik.py:758-831 analogue):
+    sizes/formats per partition, dead-run leftovers flagged uncommitted,
+    storage rot flagged un-on-disk, and pending() returning exactly the
+    partitions a resume must (re)write."""
+    import shutil
+
+    from pydriosm_spark.plans import catalogue as C
+    from pydriosm_spark.plans.checkpoint import PartitionedCheckpoint
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)], "id long, part string"
+    )
+    base = str(tmp_path / "cat")
+    ck = PartitionedCheckpoint(base, "part")
+    ck.run(df.filter(F.col("part") != "c"), run_id="r1")
+    # dead run: files on disk for 'c' but no manifest line
+    df.filter(F.col("part") == "c").write.partitionBy("part").mode("append").parquet(
+        ck.data_dir
+    )
+    cat = {r["partition"]: r for r in C.catalogue(spark, ck).collect()}
+    assert set(cat) == {"a", "b", "c"}
+    for p in ("a", "b"):
+        assert cat[p]["committed"] and cat[p]["on_disk"]
+        assert cat[p]["rows"] == 10 and cat[p]["format"] == "parquet"
+        assert cat[p]["bytes"] > 0 and cat[p]["n_files"] >= 1
+    assert cat["c"]["on_disk"] and not cat["c"]["committed"]
+    assert cat["c"]["rows"] is None
+    # storage rot: committed 'a' loses its files
+    shutil.rmtree(ck._partition_dirs()["a"])
+    assert C.pending(spark, ck, ["a", "b", "c", "d"]) == ["a", "c", "d"]

@@ -81,3 +81,33 @@ def test_hstore_value_with_comma_inside():
     # commas only split between quote-boundary pairs
     s = '"addr"=>"1, High Street","k"=>"v"'
     assert parse_hstore(s) == {"addr": "1, High Street", "k": "v"}
+
+def test_polygon_measures_batch_equals_per_row_forms():
+    """The batch-vectorized WKT measures kernel must equal the per-row
+    polygon_area/polygon_perimeter on polygons with holes, unclosed
+    rings, and mixed ring counts."""
+    import numpy as np
+
+    from pydriosm_spark.geometry.ops import (
+        polygon_area,
+        polygon_measures_wkt_batch,
+        polygon_perimeter,
+    )
+    from pydriosm_spark.geometry.wkt import parse_wkt
+
+    wkts = [
+        "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))",
+        # hole subtracts
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+        # unclosed ring (implicit closure)
+        "POLYGON ((0 0, 2 0, 2 2, 0 2))",
+        # L-shape + negative coords
+        "POLYGON ((-3 -1, 5 -1, 5 2, 1 2, 1 6, -3 6, -3 -1))",
+        # two holes
+        "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1), (5 5, 7 5, 7 7, 5 7, 5 5))",
+    ]
+    areas, perims = polygon_measures_wkt_batch(wkts)
+    for i, w in enumerate(wkts):
+        rings = parse_wkt(w)[1]
+        assert np.isclose(areas[i], polygon_area(rings), rtol=0, atol=1e-12), w
+        assert np.isclose(perims[i], polygon_perimeter(rings), rtol=0, atol=1e-12), w
