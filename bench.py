@@ -36,7 +36,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("SPARK_GRAFT_REPL", "24"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "2400"))
-SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+# 1 timed trial per worker run (after warm-up): the unconditional 2-pass
+# interleaved schedule already yields 2 timed trials per level, and the
+# whole bench must stay inside the driver's ~10-min window (measured
+# 8m20s at trials=2 with a warm cache — too tight cold)
+SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "1"))
 SCALING_LO, SCALING_HI = 2, 8
 #: per-query trials for the suite; min-of-N is the noise-robust statistic
 #: on this box (run-to-run variance is 2-3x)

@@ -167,3 +167,42 @@ def ingest_subregions(
     ck = PartitionedCheckpoint(base_dir, region_col)
     sub = df.filter(F.col(region_col).isin(leaves))
     return ck.run(sub, run_id=run_id, fail_after=fail_after, batch_size=batch_size)
+
+
+def format_fallback_plan(
+    tier: DataFrame, avail: DataFrame, names: list, fmt: str
+) -> tuple:
+    """Ingest plan with format-fallback recursion — the reference's
+    "format unavailable for this region -> try its subregions instead"
+    policy (downloader/geofabrik.py:1823-1846), as a planner over the
+    tier + an availability table ``(region, format)``.
+
+    For each requested region (fuzzy-resolved): if ``(region, fmt)`` is
+    available, plan it directly; otherwise recurse into its direct
+    children, level by level.  Returns ``(plan, unavailable)`` — sorted
+    region-name lists: ``plan`` covers the requested extent with the
+    finest regions that DO publish the format; ``unavailable`` are
+    leaves (or childless nodes) that never published it, reported
+    loudly rather than silently skipped (the reference prints and moves
+    on; a 10^12-row ingest plan must surface holes)."""
+    have = {
+        (r["region"], r["format"])
+        for r in avail.select("region", "format").collect()
+    }
+    children = {}
+    for r in tier.select("region", "parent").collect():
+        if r["parent"] is not None:
+            children.setdefault(r["parent"], []).append(r["region"])
+    plan, missing = [], []
+    frontier = [resolve_region(tier, n) for n in names]
+    while frontier:
+        nxt = []
+        for region in frontier:
+            if (region, fmt) in have:
+                plan.append(region)
+            elif children.get(region):
+                nxt.extend(children[region])
+            else:
+                missing.append(region)
+        frontier = nxt
+    return sorted(dict.fromkeys(plan)), sorted(dict.fromkeys(missing))

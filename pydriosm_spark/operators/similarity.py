@@ -351,6 +351,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN top-k via guided multi-probe LSH candidates + exact re-rank
     (approximate, recall-gated; fully SQL-oracled via integer
@@ -358,7 +359,18 @@ def cosine_topk_lsh(
     table count via :func:`sized_lsh_planes` — candidates/query then
     stay ~ N_TABLES * 7 * TARGET_BUCKET regardless of N, and the oracle
     computes the same rule from count(*) so one SQL string is correct at
-    every scale."""
+    every scale.
+
+    ``max_bucket`` (optional) caps each index bucket to its
+    deterministic first ``max_bucket`` members (row_number by id) — the
+    viral-bucket guard the MinHash path already carries.  Sizing keeps
+    the EXPECTED bucket at TARGET_BUCKET, but clustered corpora (many
+    near-identical vectors) produce hot buckets whose join fan-out grows
+    quadratically (measured: a 50x-replicated 100k corpus put 13% of all
+    vectors in one bucket); the cap bounds per-query work at
+    probes * tables * max_bucket for a graceful recall trade.  The cap is
+    deterministic, so a capped oracle stays expressible (QUALIFY
+    row_number() OVER (PARTITION BY table, bucket ORDER BY id))."""
     if n_planes is None:
         n_planes = sized_lsh_planes(emb.count())
     b = lsh_buckets(emb, dim, id_col, vec_col, n_planes)
@@ -366,6 +378,13 @@ def cosine_topk_lsh(
         F.col(id_col).alias("qid"), "table", "bucket"
     )
     c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
+    if max_bucket is not None:
+        w = Window.partitionBy("table", "bucket").orderBy("nid")
+        c = (
+            c.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= max_bucket)
+            .drop("__r")
+        )
     cand = (
         a.join(c, ["table", "bucket"])
         .filter(F.col("qid") != F.col("nid"))

@@ -81,6 +81,72 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("rx", "ry", F.col("n").cast("long").alias("n"))
 
 
+CITY_CELL = 3000
+
+
+def q_bbox_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City bbox catalogue -> per-city mention/document counts via the
+    BBBike-style flow (bbox seeds feed a cover, never a theta-join):
+    each bbox explodes to its integer grid cover cells, mentions
+    equi-join on cell (broadcast: the catalogue is a small dim), the
+    exact half-open range check refines, and a left join keeps
+    zero-mention cities visible in the catalogue output.  Reference:
+    downloader/bbbike.py:171-222 (city coordinate catalogue)."""
+    S = CITY_CELL
+    cities = synth.city_bboxes_df(spark)
+    cover = cities.withColumn(
+        "cu", F.explode(F.expr(f"sequence(u0 DIV {S}, (u1 - 1) DIV {S})"))
+    ).withColumn("cv", F.explode(F.expr(f"sequence(v0 DIV {S}, (v1 - 1) DIV {S})")))
+    m = _mentions(spark, sf_dir).select(
+        "doc_id",
+        "u",
+        "v",
+        F.expr(f"u DIV {S}").alias("cu"),
+        F.expr(f"v DIV {S}").alias("cv"),
+    )
+    hits = m.join(F.broadcast(cover), ["cu", "cv"]).filter(
+        (F.col("u") >= F.col("u0"))
+        & (F.col("u") < F.col("u1"))
+        & (F.col("v") >= F.col("v0"))
+        & (F.col("v") < F.col("v1"))
+    )
+    agg = hits.groupBy("city_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return cities.join(agg, "city_id", "left").select(
+        "city_id",
+        "u0",
+        "v0",
+        "u1",
+        "v1",
+        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+def oracle_bbox_cities() -> str:
+    return (
+        _o_mentions_prefix()
+        + ","
+        + synth.cities_cte_duckdb()
+        + """
+, hits AS (
+  SELECT c.city_id, m.doc_id
+  FROM cities c JOIN mentions m
+    ON m.u >= c.u0 AND m.u < c.u1 AND m.v >= c.v0 AND m.v < c.v1
+),
+agg AS (
+  SELECT city_id, count(*) AS n, count(DISTINCT doc_id) AS nd
+  FROM hits GROUP BY city_id
+)
+SELECT c.city_id, c.u0, c.v0, c.u1, c.v1,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_mentions,
+       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_docs
+FROM cities c LEFT JOIN agg a USING (city_id)"""
+    )
+
+
 def q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon-polygon overlap join: L-shaped zones x bbox grid cells.
     ``sf_dir`` is unused (pure geometry; both sides synthesized) but kept
@@ -440,6 +506,7 @@ def registry() -> dict:
         "vectorize_runs": (q_vectorize_runs, oracle_vectorize_runs()),
         "grid_cluster": (q_grid_cluster, oracle_grid_cluster()),
         "zone_measures": (q_zone_measures, oracle_zone_measures()),
+        "bbox_city_mentions": (q_bbox_cities, oracle_bbox_cities()),
     }
     from pydriosm_spark import queries_layers, queries_media, queries_rel, queries_text
 

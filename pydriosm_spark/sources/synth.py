@@ -253,6 +253,51 @@ def places() -> list[dict]:
     return out
 
 
+N_CITIES = 18
+CITY_U = (2117, 530)
+CITY_V = (1387, 310)
+
+
+def city_bbox_sql(c: str, dialect: str) -> dict:
+    """The city bbox catalogue arithmetic — one definition, two
+    renderings.  The engine analogue of the reference's BBBike city
+    coordinate catalogue (/root/reference/pydriosm/downloader/
+    bbbike.py:171-222: a (city, minx, miny, maxx, maxy) table seeding
+    downstream extent computation); here the seeds are deterministic
+    integer e5 offsets inside the mention bbox."""
+    au, cu = CITY_U
+    av, cv = CITY_V
+    w = f"(3000 + (({c}) % 4) * 1500)"
+    h = f"(2500 + (({c}) % 3) * 1250)"
+    u0 = f"((({c}) * {au} + {cu}) % ({BB_W_E5} - {w}))"
+    v0 = f"((({c}) * {av} + {cv}) % ({BB_H_E5} - {h}))"
+    return {
+        "u0": u0,
+        "v0": v0,
+        "u1": f"({u0} + {w})",
+        "v1": f"({v0} + {h})",
+    }
+
+
+def city_bboxes_df(spark: SparkSession) -> DataFrame:
+    """(city_id, u0, v0, u1, v1) in integer e5 units (half-open ranges)."""
+    cols = city_bbox_sql("id", "spark")
+    return spark.range(N_CITIES).select(
+        F.col("id").cast("int").alias("city_id"),
+        *[F.expr(sql).cast("long").alias(name) for name, sql in cols.items()],
+    )
+
+
+def cities_cte_duckdb() -> str:
+    cols = city_bbox_sql("q.c", "duckdb")
+    sel = ", ".join(f"CAST({sql} AS BIGINT) AS {name}" for name, sql in cols.items())
+    return f"""
+cities AS (
+  SELECT CAST(q.c AS INT) AS city_id, {sel}
+  FROM (SELECT unnest(range(0, {N_CITIES})) AS c) q
+)"""
+
+
 def places_df(spark: SparkSession) -> DataFrame:
     au, cu, mu = PLACE_U
     av, cv, mv = PLACE_V

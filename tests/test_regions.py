@@ -126,3 +126,34 @@ def test_catalogue_answers_resume_planning(spark, tmp_path):
     # storage rot: committed 'a' loses its files
     shutil.rmtree(ck._partition_dirs()["a"])
     assert C.pending(spark, ck, ["a", "b", "c", "d"]) == ["a", "c", "d"]
+
+
+def test_format_fallback_plan(spark, tier):
+    """Reference geofabrik.py:1823-1846 semantics: a region missing the
+    requested format recurses into subregions; leaves that never publish
+    it are reported, not silently dropped."""
+    avail = spark.createDataFrame(
+        [
+            ("europe", "pbf"),            # whole-extent pbf available
+            ("britain", "shp"),           # shp only at britain level
+            ("france", "shp"),
+            ("scotland", "csv"), ("wales", "csv"), ("rutland", "csv"),
+            ("n-america", "csv"),
+        ],
+        "region string, format string",
+    )
+    # pbf available at the requested node itself -> plan is just it
+    assert R.format_fallback_plan(tier, avail, ["europe"], "pbf") == (["europe"], [])
+    # shp missing at europe -> children: britain has it, france has it
+    assert R.format_fallback_plan(tier, avail, ["europe"], "shp") == (
+        ["britain", "france"], []
+    )
+    # csv missing at europe AND britain -> britain's children have it,
+    # but france is a LEAF without csv -> reported unavailable
+    assert R.format_fallback_plan(tier, avail, ["europe"], "csv") == (
+        ["rutland", "scotland", "wales"], ["france"]
+    )
+    # fuzzy name on the way in; world -> mixed fallback across branches
+    plan, missing = R.format_fallback_plan(tier, avail, ["wrld"], "csv")
+    assert plan == ["n-america", "rutland", "scotland", "wales"]
+    assert missing == ["france"]
