@@ -401,6 +401,7 @@ def embedding_dedup_pairs(
     sim_e6_min: int = 400_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket candidates
     (any-table collision) -> exact quantized-cosine verify -> pairs with
@@ -409,8 +410,13 @@ def embedding_dedup_pairs(
     one bucket equi-join, verification touches candidates only.
     Approximate by construction (a true near-dup at cosine ~1 collides
     in every table; recall decays toward the threshold) — the DuckDB
-    oracle mirrors the same candidate generation, so the gate is exact."""
-    b = lsh_buckets(emb, dim, id_col, vec_col)
+    oracle mirrors the same candidate generation, so the gate is exact.
+    ``n_planes=None`` self-sizes from N (:func:`sized_lsh_planes`),
+    keeping the bucket self-join sub-quadratic at any scale; the oracle
+    re-derives the same rule from count(*)."""
+    if n_planes is None:
+        n_planes = sized_lsh_planes(emb.count())
+    b = lsh_buckets(emb, dim, id_col, vec_col, n_planes)
     a = b.select(F.col(id_col).alias("qid"), "table", "bucket")
     c = b.select(F.col(id_col).alias("nid"), "table", "bucket")
     cand = (

@@ -170,6 +170,50 @@ FROM bytes WHERE frame_idx % 2 = 0
 GROUP BY media_id, frame_idx, w, h"""
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean 2x downsample -> content address of the RESIZED payload:
+    the oracle reconstructs the source pixels in SQL, recomputes every
+    output pixel (sum // 4 == the kernel's exact float64 mean truncation),
+    re-wraps the FIMG container, and matches md5-over-hex byte-for-byte."""
+    r = M.image_resize(M.media_table(spark, sf_dir), factor=2)
+    return r.select(
+        "media_id",
+        "width",
+        "height",
+        F.expr("md5(lower(hex(payload)))").alias("payload_md5hex"),
+    )
+
+
+def oracle_image_resize() -> str:
+    return f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+         {_stream_hex("'img' || doc_id", "(8 + doc_id % 9) * (6 + doc_id % 7) * 3")} AS px_hex
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id, w // 2 AS nw, h // 2 AS nh,
+         r.i // (w * 3) AS y, (r.i % (w * 3)) // 3 AS x, r.i % 3 AS ch,
+         ('0x' || substr(px_hex, r.i * 2 + 1, 2))::BIGINT AS b
+  FROM imgs, range(0, {_IMG_MAX}) r(i)
+  WHERE r.i < w * h * 3
+),
+small AS (
+  SELECT media_id, nw, nh, y // 2 AS ry, x // 2 AS rx, ch,
+         CAST(sum(b) // 4 AS BIGINT) AS v
+  FROM px WHERE y < nh * 2 AND x < nw * 2
+  GROUP BY media_id, nw, nh, y // 2, x // 2, ch
+),
+hexs AS (
+  SELECT media_id, nw, nh,
+         string_agg(lower(lpad(to_hex(v), 2, '0')), '' ORDER BY ry, rx, ch) AS ph
+  FROM small GROUP BY media_id, nw, nh
+)
+SELECT media_id, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+       md5('46494d47' || {_i32le_hex("nw")} || {_i32le_hex("nh")} || ph) AS payload_md5hex
+FROM hexs"""
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.media_table(spark, sf_dir))
 
@@ -186,6 +230,7 @@ def registry() -> dict:
     return {
         "media_manifest": (q_media_manifest, oracle_media_manifest()),
         "media_image_features": (q_image_features, oracle_image_features()),
+        "media_image_resize": (q_image_resize, oracle_image_resize()),
         "media_audio_features": (q_audio_features, oracle_audio_features()),
         "media_video_frames": (q_video_frame_sample, oracle_video_frames()),
     }

@@ -334,21 +334,6 @@ FROM sims
 QUALIFY rank <= {TOPK}"""
 
 
-def _lsh_bucket_exprs() -> list[str]:
-    """One DuckDB bucket expression per plane table — integer plane dots
-    (exact in DOUBLE), mirroring similarity.lsh_buckets' numpy kernel."""
-    out = []
-    for t in range(similarity.N_TABLES):
-        P = similarity._planes(DIM, t)
-        bits = []
-        for p in range(similarity.N_PLANES):
-            coefs = ", ".join(str(int(c)) for c in P[p])
-            dot = f"list_dot_product(qv::DOUBLE[], [{coefs}]::DOUBLE[])"
-            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-        out.append("(" + " + ".join(bits) + ")")
-    return out
-
-
 def _lsh_dot_arrays(n_planes: int) -> list[str]:
     """One DuckDB expression per plane table: the array of ``n_planes``
     exact integer plane dots (as DOUBLE — exact below 2^53), mirroring
@@ -432,15 +417,34 @@ FROM rr QUALIFY rank <= {TOPK}"""
 
 
 def oracle_dedup_embedding() -> str:
+    """Self-sized like the engine (similarity.sized_lsh_planes from
+    count(*) in SQL): buckets mask the first np of MAX_PLANES static
+    plane dots; candidates are same-bucket pairs (no multiprobe on the
+    dedup path — a true near-dup collides without probing)."""
     qz = similarity.quantize_sql("embedding", "duckdb")
+    MP, TB = similarity.MAX_PLANES, similarity.TARGET_BUCKET
     packs = ", ".join(
-        f"struct_pack(t := {t}, bucket := {e})" for t, e in enumerate(_lsh_bucket_exprs())
+        f"struct_pack(t := {t}, dots := {e})"
+        for t, e in enumerate(_lsh_dot_arrays(MP))
     )
     return f"""
 WITH e AS (SELECT vec_id, {qz} AS qv FROM embeddings),
-b AS (
-  SELECT vec_id, u.s.t AS tbl, u.s.bucket AS bucket
+nn AS (SELECT count(*) AS n FROM e),
+pp AS (
+  SELECT greatest(3, least({MP},
+    CASE WHEN (n + {TB - 1}) // {TB} <= 1 THEN 0
+         ELSE length(bin((n + {TB - 1}) // {TB} - 1)) END)) AS np
+  FROM nn
+),
+dt AS (
+  SELECT vec_id, u.s.t AS tbl, u.s.dots AS dots
   FROM (SELECT vec_id, [{packs}] AS bl FROM e), unnest(bl) u(s)
+),
+b AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dots[r.i + 1] > 0 THEN 1::BIGINT << r.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM dt, pp, range(0, {MP}) r(i) WHERE r.i < pp.np
+  GROUP BY vec_id, tbl
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b

@@ -133,3 +133,25 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     seg = p.split("PartitionFilters")[1][:200] if "PartitionFilters" in p else ""
     assert "part" in seg and "3" in seg, p[:2000]
     assert q.count() == 125
+
+def test_bbox_city_join_broadcasts_catalogue_no_python(spark):
+    """The city-bbox cover join must broadcast the (tiny) exploded
+    catalogue — never exchange the mention side for the join — and stay
+    entirely JVM-side (pure integer arithmetic, no Python stages)."""
+    from pydriosm_spark.queries import q_bbox_cities
+
+    df = q_bbox_cities(spark, SF_SMOKE)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "Python" not in p and "ArrowEvalPython" not in p, p
+    # shuffles: only the final per-city aggregation (+AQE-inserted reads);
+    # the probe side reaches the broadcast join unexchanged
+    assert "SortMergeJoin" not in p, p
+
+
+def test_tier_query_plan_has_no_python(spark):
+    """Tier depth computation is joins + unions only — no Python stage."""
+    from pydriosm_spark.queries_layers import q_region_tier
+
+    p = _plan(q_region_tier(spark, SF_SMOKE))
+    assert "Python" not in p, p

@@ -121,3 +121,69 @@ def test_hstore_roundtrip(d):
 def test_hstore_reference_mangling_quirk():
     # pinned: the reference regex splits inside a value equal to ','
     assert parse_hstore('"0"=>","') == {"0": ""}
+
+@given(
+    st.lists(st.integers(0, (1 << 60) - 1), min_size=2, max_size=24, unique=True),
+    st.sampled_from([(1, 4), (2, 4), (3, 4), (2, 5), (4, 5), (3, 6), (5, 6)]),
+)
+@settings(max_examples=120, deadline=None)
+def test_simhash_composite_keys_pigeonhole_complete(sigs, rb):
+    """PURE property of the rotate-block key scheme (no Spark): two
+    signatures within Hamming distance radius MUST share at least one
+    (blocks - radius)-subset composite key; and key agreement never
+    invents pairs the exact verify would keep (keys are projections)."""
+    from pydriosm_spark.operators.dedup import SIMHASH_BITS, simhash_key_subsets
+
+    radius, blocks = rb
+    bits = SIMHASH_BITS // blocks
+    mask = (1 << bits) - 1
+    subsets = simhash_key_subsets(radius, blocks)
+
+    def keys(s):
+        out = set()
+        for i, sub in enumerate(subsets):
+            val = 0
+            for j, blk in enumerate(sub):
+                val |= ((s >> (blk * bits)) & mask) << (j * bits)
+            out.add((i, val))
+        return out
+
+    ks = {s: keys(s) for s in sigs}
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            ham = bin(a ^ b).count("1")
+            if ham <= radius:
+                assert ks[a] & ks[b], (a, b, ham, radius, blocks)
+
+
+@given(
+    st.integers(2, 24).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(st.integers(0, 10**6), min_size=n - 1, max_size=n - 1),
+        )
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_tier_depths_match_sequential_oracle(spark, seed):
+    """Random forest: every node i>0 gets parent drawn from nodes < i
+    (acyclic by construction).  Pointer-doubling depths must equal the
+    trivial sequential walk."""
+    from pydriosm_spark.functions.regions import tier_from_edges
+
+    n, draws = seed
+    parent = {0: None}
+    for i in range(1, n):
+        parent[i] = draws[i - 1] % i
+    edges = [(f"r{i}", None if parent[i] is None else f"r{parent[i]}") for i in range(n)]
+    df = spark.createDataFrame(edges, "region string, parent string")
+    got = {r["region"]: r["depth"] for r in tier_from_edges(df).collect()}
+
+    def depth(i):
+        d = 0
+        while parent[i] is not None:
+            i = parent[i]
+            d += 1
+        return d
+
+    assert got == {f"r{i}": depth(i) for i in range(n)}
