@@ -215,3 +215,42 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         kernel, schema
     )
+
+
+def media_validate(media: DataFrame) -> DataFrame:
+    """Container validation / quarantine: (media_id, kind, valid, reason)
+    from the payload BYTES (magic + header-vs-actual length), one
+    vectorized pass.  A 10^12-object ingest cannot crash on a corrupt
+    blob — invalid rows route to quarantine, valid ones continue.
+    Reasons: 'too_short' (no room for magic+header), 'bad_magic',
+    'truncated' (payload shorter than the header promises), NULL (valid;
+    trailing bytes are tolerated, matching lenient container readers)."""
+    schema = "media_id long, kind string, valid boolean, reason string"
+    header = {"image": 12, "audio": 12, "video": 16}
+    magic = {"image": IMG_MAGIC, "audio": AUD_MAGIC, "video": VID_MAGIC}
+
+    def body_len(kind: str, buf: bytes) -> int:
+        a = np.frombuffer(buf[4:16].ljust(12, b"\0"), dtype=np.int32)
+        if kind == "image":
+            return int(a[0]) * int(a[1]) * 3
+        if kind == "audio":
+            return int(a[1]) * 2
+        return int(a[0]) * int(a[1]) * int(a[2])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                buf = bytes(payload)
+                hl = header[kind]
+                if len(buf) < hl:
+                    out.append((int(mid), kind, False, "too_short"))
+                elif buf[:4] != magic[kind]:
+                    out.append((int(mid), kind, False, "bad_magic"))
+                elif len(buf) < hl + body_len(kind, buf):
+                    out.append((int(mid), kind, False, "truncated"))
+                else:
+                    out.append((int(mid), kind, True, None))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "valid", "reason"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(kernel, schema)

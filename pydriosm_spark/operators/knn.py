@@ -74,8 +74,18 @@ def knn_cell(
     point_keys: list[str] | None = None,
     u: str = "u",
     v: str = "v",
+    broadcast_places: bool = True,
 ) -> DataFrame:
-    """Exact kNN join: disk-probe equi-join + brute-force fallback."""
+    """Exact kNN join: disk-probe equi-join + brute-force fallback.
+
+    ``broadcast_places=False`` drops the broadcast hint so the disk
+    probe runs as a shuffle join on the derived cell keys — required
+    once the place side outgrows an executor (the equality condition
+    ``cx + dx == pcx`` is key-extractable, so Catalyst plans a regular
+    hash/sort-merge join; equivalence-tested against the broadcast
+    form).  The fallback then also broadcasts nothing: uncertified
+    points brute-force only when the place side still fits
+    (knn_bruteforce's own contract)."""
     point_keys = point_keys or ["doc_id", "mention_idx"]
     S, R = int(cell_size), int(disk_radius)
 
@@ -101,9 +111,10 @@ def knn_cell(
         ]
     )
     probe = pts.withColumn("__o", F.explode(offsets))
+    placed_side = F.broadcast(placed) if broadcast_places else placed
     cand = _with_d2(
         probe.join(
-            F.broadcast(placed),
+            placed_side,
             (F.col("__cx") + F.col("__o.dx") == F.col("pcx"))
             & (F.col("__cy") + F.col("__o.dy") == F.col("pcy")),
             "inner",
@@ -150,10 +161,13 @@ def knn_auto(
     """Adaptive dispatch: for a small place side the broadcast
     nested-loop + WindowGroupLimit brute force beats the cell path (no
     explode, no extra shuffle); the disk-probe plan takes over once the
-    place side is big enough that |points| x |places| dominates.  The
-    threshold is |places|: below it brute force is strictly better."""
-    if places.count() <= broadcast_nlj_threshold:
+    place side is big enough that |points| x |places| dominates; and
+    past ~2M places the probe join stops broadcasting entirely (shuffle
+    join on the derived cell keys).  The thresholds are |places|-driven."""
+    n_places = places.count()
+    if n_places <= broadcast_nlj_threshold:
         return knn_bruteforce(points, places, k=k, **{k_: v for k_, v in kw.items() if k_ in ("point_keys", "u", "v")})
+    kw.setdefault("broadcast_places", n_places <= 2_000_000)
     return knn_cell(spark, points, places, k=k, **kw)
 
 

@@ -214,6 +214,36 @@ SELECT media_id, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
 FROM hexs"""
 
 
+def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt a deterministic subset of payloads (truncation below the
+    header, truncation inside the body, magic stomp), then validate from
+    the BYTES — the quarantine routing a 10^12-object ingest needs.  The
+    oracle derives the same verdicts from the corruption arithmetic; the
+    engine must earn them from the actual binary column."""
+    m = M.media_table(spark, sf_dir).withColumn(
+        "payload",
+        F.expr(
+            "CASE WHEN media_id % 37 = 0 THEN substring(payload, 1, 8) "
+            "WHEN media_id % 37 = 1 THEN substring(payload, 1, 20) "
+            "WHEN media_id % 41 = 0 THEN concat(X'00', substring(payload, 2, length(payload) - 1)) "
+            "ELSE payload END"
+        ),
+    )
+    return M.media_validate(m)
+
+
+def oracle_media_quarantine() -> str:
+    return """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       (doc_id % 37 NOT IN (0, 1) AND doc_id % 41 <> 0) AS valid,
+       CASE WHEN doc_id % 37 = 0 THEN 'too_short'
+            WHEN doc_id % 37 = 1 THEN 'truncated'
+            WHEN doc_id % 41 = 0 THEN 'bad_magic'
+            ELSE NULL END AS reason
+FROM documents"""
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.media_table(spark, sf_dir))
 
@@ -231,6 +261,7 @@ def registry() -> dict:
         "media_manifest": (q_media_manifest, oracle_media_manifest()),
         "media_image_features": (q_image_features, oracle_image_features()),
         "media_image_resize": (q_image_resize, oracle_image_resize()),
+        "media_quarantine": (q_media_quarantine, oracle_media_quarantine()),
         "media_audio_features": (q_audio_features, oracle_audio_features()),
         "media_video_frames": (q_video_frame_sample, oracle_video_frames()),
     }

@@ -112,3 +112,25 @@ def test_boundary_point_is_uncertified(spark, boundary_case):
     p0 = points.filter(F.col("doc_id") == 0)
     out = _knn_pairs(knn.knn_cell(spark, p0, places, k=1, cell_size=S, disk_radius=R))
     assert out == {(0, 0, 1): (1, 400)}
+
+
+def test_knn_cell_shuffle_form_equals_broadcast(spark):
+    """broadcast_places=False (the large-place-side plan: shuffle join on
+    the derived cell keys) must produce exactly the broadcast form's
+    result — and the plan must actually drop the broadcast."""
+    from pydriosm_spark.functions import extract
+    from pydriosm_spark.sources import synth
+    from tests.conftest import SF_SMOKE
+
+    points = extract.extract_mentions(synth.webpages(spark, SF_SMOKE))
+    places = synth.places_df(spark)
+    a = knn.knn_cell(spark, points, places, k=3).toPandas()
+    b_df = knn.knn_cell(spark, points, places, k=3, broadcast_places=False)
+    b = b_df.toPandas()
+    key = ["doc_id", "mention_idx", "rank"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
