@@ -56,3 +56,37 @@ def test_audio_and_video_kernels(spark):
     mid = one["media_id"]
     nf = 4 + mid % 5
     assert one["count"] == (nf + 1) // 2
+
+def test_media_kernels_run_on_streams(spark, tmp_path):
+    """The multimodal kernels are plain mapInPandas transforms, so the
+    same code must run unchanged under Structured Streaming (the
+    validate/quarantine path especially — a streaming ingest filters
+    corrupt blobs in-flight).  availableNow stream == batch result."""
+    from pydriosm_spark.multimodal import media as M
+
+    m = M.media_table(spark, "/root/testdata/sf0.001").filter("media_id < 60")
+    src = str(tmp_path / "media_src")
+    m.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r["media_id"], r["valid"], r["reason"])
+        for r in M.media_validate(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = M.media_validate(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("media_validate_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["media_id"], r["valid"], r["reason"])
+        for r in spark.sql("select * from media_validate_stream").collect()
+    }
+    assert got == batch and len(got) == 60
