@@ -57,6 +57,46 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped 5-way star join: the lineitem fact against four
+    broadcast dims (part filtered before the join so pruning reaches the
+    scan), revenue in exact integer cents-e4 per (region, brand)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def oracle_part_profit() -> str:
+    return """
+SELECT r_name, p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 20
+GROUP BY r_name, p_brand"""
+
+
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + group + window top-k per priority (sort/limit box)."""
     o = _t(spark, sf_dir, "orders")
@@ -434,6 +474,7 @@ def registry() -> dict:
     return {
         "rel_pricing_summary": (q_pricing_summary, oracle_pricing_summary()),
         "rel_market_share": (q_market_share, oracle_market_share()),
+        "rel_part_profit": (q_part_profit, oracle_part_profit()),
         "rel_top_orders": (q_top_orders, oracle_top_orders()),
         "rel_semi_anti": (q_unshipped_customers, oracle_unshipped_customers()),
         "rel_event_windows": (q_event_windows, oracle_event_windows()),

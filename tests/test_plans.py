@@ -155,3 +155,17 @@ def test_tier_query_plan_has_no_python(spark):
 
     p = _plan(q_region_tier(spark, SF_SMOKE))
     assert "Python" not in p, p
+
+
+def test_star_join_is_broadcast_chain(spark):
+    """The 5-way star join must be four BroadcastHashJoins over one scan
+    of the fact side — no SortMergeJoin, no fact-side Exchange before
+    the aggregation; the p_size filter reaches the part scan."""
+    from pydriosm_spark.queries_rel import q_part_profit
+
+    df = q_part_profit(spark, SF_SMOKE)
+    p = _plan(df)
+    assert p.count("BroadcastHashJoin") == 4, p
+    assert "SortMergeJoin" not in p, p
+    o = _optimized(df)
+    assert "p_size" in o and "Filter" in o, o
