@@ -82,4 +82,7 @@ def grid_cluster(
         + tiling.cell_coord(v, cell_size)
         + CELL_KEY_OFF,
     )
-    return pts.join(F.broadcast(comp), "cell_key", "inner").select(*point_keys, "cluster")
+    # no broadcast hint: |comp| = |dense cells|, which grows with the
+    # covered area (10^8+ at planet scale / fine cells) — AQE broadcasts
+    # when the runtime size allows and shuffles otherwise
+    return pts.join(comp, "cell_key", "inner").select(*point_keys, "cluster")

@@ -165,10 +165,14 @@ def minhash_lsh_pairs(
         pairs.select(F.explode(F.array("id_a", "id_b")).alias(key)).distinct()
     )
     # distinct AFTER the candidate narrowing: Jaccard is over each doc's
-    # distinct shingle set, and only candidate docs pay the distinct
+    # distinct shingle set, and only candidate docs pay the distinct.
+    # No broadcast hint: cand_ids is DATA-DEPENDENT (every doc in a
+    # near-dup pair) — tiny on clean corpora, potentially billions on
+    # dup-heavy ones — so AQE picks broadcast vs shuffle from the
+    # runtime size instead of a wired-in assumption.
     sh = (
         shingles_exploded(df, key, text)
-        .join(F.broadcast(cand_ids), key, "left_semi")
+        .join(cand_ids, key, "left_semi")
         .distinct()
     )
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
