@@ -164,3 +164,52 @@ def test_salting_balances_hot_key_groups(spark):
     # and the salted join still returns exactly one match per probe row
     out = salted_join(probe, build, "cell", "doc_id", salts)
     assert out.count() == n
+
+
+def test_streaming_restart_resumes_exactly_once(spark, tmp_path):
+    """Kill-and-restart resume for the streaming extraction pipeline:
+    batch 1 of files is drained, the query STOPS, new files arrive, and a
+    fresh query on the SAME checkpoint processes only the new files —
+    the parquet sink ends up with every row exactly once (== batch over
+    all inputs).  This is the streaming face of the engine's idempotent-
+    resume contract (plans/checkpoint.py is the batch face)."""
+    from pydriosm_spark.sources import synth
+    from pydriosm_spark.streaming.pipeline import extract_and_tile
+
+    web = synth.webpages(spark, SF_SMOKE).limit(200).cache()
+    src = tmp_path / "web_src"
+    sink = str(tmp_path / "tiles_out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    w1 = web.filter("doc_id % 2 = 0")
+    w2 = web.filter("doc_id % 2 = 1")
+    w1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    schema = web.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            extract_and_tile(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # run 1: only f1 exists
+    n1 = spark.read.parquet(sink).count()
+    w2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    drain()  # run 2: same checkpoint -> must process ONLY f2
+
+    got = spark.read.parquet(sink)
+    want = extract_and_tile(web)
+    assert n1 == extract_and_tile(w1).count()
+    assert got.count() == want.count()  # exactly once: no dupes, no holes
+    assert (
+        got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    )
