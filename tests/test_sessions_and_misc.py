@@ -236,3 +236,58 @@ def test_asof_null_payload_comes_from_matched_row(spark):
     row = out[0]
     assert str(row["asof_ts"]) == "2024-01-01 09:00:00"
     assert row["asof_signup_id"] is None
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """Sharded streaming KMV (bounded per-shard bottom-k state in
+    applyInPandasWithState, files drained across MULTIPLE micro-batches)
+    must produce EXACTLY the batch sketch's (kth_hash, est_distinct) —
+    the merge of per-shard bottom-k provably contains the global
+    bottom-k."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pydriosm_spark.operators.sketch import kmv_distinct_estimate
+    from pydriosm_spark.streaming.sketch import (
+        merge_kmv_states,
+        streaming_kmv_states,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        F.col("text").alias("val")
+    )
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    # two files -> with maxFilesPerTrigger=1 the state accumulates
+    # across two micro-batches (the thing being tested)
+    docs.filter(F.expr("length(val) % 2 = 0")).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    docs.filter(F.expr("length(val) % 2 = 1")).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_kmv_states(stream, "val", k=128, n_buckets=8)
+        .writeStream.format("memory")
+        .queryName("kmv_states")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select bucket, mins from (select *, row_number() over "
+        "(partition by bucket order by upd desc) rn from kmv_states) where rn = 1"
+    ).toPandas()
+    assert rows["bucket"].nunique() == len(rows)
+    got = merge_kmv_states(rows, k=128)
+    want = kmv_distinct_estimate(docs, "val", k=128).collect()[0]
+    assert got["kth_hash"] == want["kth_hash"]
+    assert got["est_distinct"] == want["est_distinct"]
