@@ -343,6 +343,21 @@ def lsh_probes(
     return emb.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def auto_bucket_cap(
+    buckets: DataFrame, target_bucket: int = TARGET_BUCKET
+) -> int | None:
+    """Skew-triggered viral-bucket cap: measure the p99 bucket size of
+    the index (one cheap aggregation over (table, bucket) counts); when
+    it exceeds 4x the sizing target — i.e. the corpus is clustered
+    enough that fan-out is skew-bound, not size-bound — return a cap of
+    4x target, else None (exact-to-oracle uncapped behavior).  Exposed
+    separately so the decision is testable without running a full
+    query."""
+    sizes = buckets.groupBy("table", "bucket").count()
+    p99 = sizes.selectExpr("percentile(count, 0.99) AS p").collect()[0][0] or 0
+    return 4 * target_bucket if p99 > 4 * target_bucket else None
+
+
 def cosine_topk_lsh(
     spark: SparkSession,
     emb: DataFrame,
@@ -370,10 +385,14 @@ def cosine_topk_lsh(
     vectors in one bucket); the cap bounds per-query work at
     probes * tables * max_bucket for a graceful recall trade.  The cap is
     deterministic, so a capped oracle stays expressible (QUALIFY
-    row_number() OVER (PARTITION BY table, bucket ORDER BY id))."""
+    row_number() OVER (PARTITION BY table, bucket ORDER BY id)).
+    ``max_bucket="auto"`` triggers the cap from measured skew
+    (:func:`auto_bucket_cap`: p99 bucket size > 4x target)."""
     if n_planes is None:
         n_planes = sized_lsh_planes(emb.count())
     b = lsh_buckets(emb, dim, id_col, vec_col, n_planes)
+    if max_bucket == "auto":
+        max_bucket = auto_bucket_cap(b)
     a = lsh_probes(emb, dim, id_col, vec_col, n_planes).select(
         F.col(id_col).alias("qid"), "table", "bucket"
     )

@@ -188,3 +188,20 @@ def test_lsh_bucket_cap_preserves_recall_at_8k(spark, emb8k, exact8k):
     a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
     recall = len(exact8k & a) / len(exact8k)
     assert recall >= 0.75, recall
+
+
+def test_auto_bucket_cap_triggers_on_skew_only(spark, emb8k):
+    """max_bucket='auto' caps when the measured p99 bucket size exceeds
+    4x the sizing target (the clustered replica corpus) and stays
+    uncapped on a corpus whose buckets match the target (the raw 2000
+    vectors, where sizing keeps p99 near TARGET_BUCKET)."""
+    clustered = similarity.lsh_buckets(
+        emb8k, dim=64, n_planes=similarity.sized_lsh_planes(8000)
+    )
+    assert similarity.auto_bucket_cap(clustered) == 4 * similarity.TARGET_BUCKET
+
+    raw = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    uniform = similarity.lsh_buckets(
+        raw, dim=64, n_planes=similarity.sized_lsh_planes(raw.count())
+    )
+    assert similarity.auto_bucket_cap(uniform) is None
