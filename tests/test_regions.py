@@ -157,3 +157,42 @@ def test_format_fallback_plan(spark, tier):
     plan, missing = R.format_fallback_plan(tier, avail, ["wrld"], "csv")
     assert plan == ["n-america", "rutland", "scotland", "wales"]
     assert missing == ["france"]
+
+
+def test_pbf_to_checkpoint_to_catalogue_end_to_end(spark, tmp_path):
+    """The front-door workflow end to end on the REAL fixture: splittable
+    PBF scan -> relation layers assembled distributed -> per-layer
+    checkpointed commit (killed mid-run, resumed) -> catalogue answers
+    what landed -> read-back equals the source, layer for layer."""
+    import pytest as _pytest
+
+    from pydriosm_spark.plans import catalogue as C
+    from pydriosm_spark.plans.checkpoint import PartitionedCheckpoint
+    from pydriosm_spark.sources import pbf
+
+    path = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+    layers = pbf.relation_layers_distributed(spark, path).select(
+        "layer", "id", "geometry"
+    )
+    want = {r["layer"]: r["n"] for r in layers.groupBy("layer").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert set(want) == {"multilinestrings", "multipolygons", "other_relations"}
+
+    base = str(tmp_path / "pbf_ckpt")
+    ck = PartitionedCheckpoint(base, "layer")
+    with _pytest.raises(RuntimeError, match="injected"):
+        ck.run(layers, run_id="r1", fail_after=1)
+    res = ck.run(layers, run_id="r2")
+    assert len(res.skipped_partitions) == 1 and len(res.written_partitions) == 2
+
+    cat = {r["partition"]: r for r in C.catalogue(spark, ck).collect()}
+    assert {p: c["rows"] for p, c in cat.items()} == want
+    assert all(c["committed"] and c["on_disk"] for c in cat.values())
+    assert C.pending(spark, ck, list(want)) == []
+
+    got = {
+        r["layer"]: r["n"]
+        for r in ck.read(spark).groupBy("layer").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
