@@ -67,3 +67,69 @@ def merge_kmv_states(states: pd.DataFrame, k: int = 256) -> dict:
     kth = mins[-1] if mins else 0
     est = n if n < k else (k - 1) * HASH_RANGE // kth
     return {"k": k, "kth_hash": kth, "est_distinct": int(est)}
+
+
+def streaming_quantile_states(
+    stream: DataFrame,
+    value_sql: str,
+    key_sql: str,
+    k: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Streaming bottom-k-by-hash quantile SAMPLE (operators/sketch.py's
+    sampled_quantiles, streaming form): shards keep their bottom-k
+    distinct (h, v) pairs ordered by (h, v) — sharding on h keeps every
+    pair of one hash in one shard, so the merged global bottom-k is
+    EXACTLY the batch sample.  State <= k pairs per shard, bounded
+    forever."""
+    hashed = stream.select(
+        F.expr(hash30_sql(key_sql, "spark")).alias("h"),
+        F.expr(value_sql).cast("long").alias("v"),
+    ).withColumn("bucket", (F.col("h") % n_buckets).cast("int"))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, vs, prev_upd = state.get
+            pairs = set(zip(hs, vs))
+        else:
+            pairs, prev_upd = set(), 0
+        for pdf in pdfs:
+            pairs.update(zip((int(x) for x in pdf["h"]), (int(x) for x in pdf["v"])))
+        best = sorted(pairs)[:k]
+        upd = prev_upd + 1
+        state.update(([h for h, _ in best], [v for _, v in best], upd))
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "upd": [upd],
+                "hs": [[h for h, _ in best]],
+                "vs": [[v for _, v in best]],
+            }
+        )
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket int, upd int, hs array<long>, vs array<long>",
+        stateStructType="hs array<long>, vs array<long>, upd int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_quantile_states(
+    states: pd.DataFrame, qs_permille: tuple = (500, 900, 990), k: int = 2048
+) -> pd.DataFrame:
+    """Merge shard samples -> (q_permille, value) rows, the SAME
+    arithmetic as the batch operator: global bottom-k by (h, v), rank by
+    (v, h), target ranks ceil(q*k/1000) clamped to the sample size."""
+    pairs = sorted(
+        {(int(h), int(v)) for _i, row in states.iterrows() for h, v in zip(row["hs"], row["vs"])}
+    )[:k]
+    ranked = sorted(pairs, key=lambda p: (p[1], p[0]))
+    n = len(ranked)
+    out = []
+    for q in qs_permille:
+        r = min((q * k + 999) // 1000, n)
+        if r >= 1:
+            out.append((q, ranked[r - 1][1]))
+    return pd.DataFrame(out, columns=["q_permille", "value"])

@@ -291,3 +291,53 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
     want = kmv_distinct_estimate(docs, "val", k=128).collect()[0]
     assert got["kth_hash"] == want["kth_hash"]
     assert got["est_distinct"] == want["est_distinct"]
+
+
+def test_streaming_quantiles_equal_batch_sample(spark, tmp_path):
+    """The streaming bottom-k-by-hash quantile sample (sharded bounded
+    state) merged across shards must equal the batch sampled_quantiles
+    rows exactly — same sample, same ranks, same values."""
+    from pyspark.sql import functions as F
+
+    from pydriosm_spark.operators.sketch import sampled_quantiles
+    from pydriosm_spark.queries_rel import _Q_KEY, _Q_VALUE
+    from pydriosm_spark.streaming.sketch import (
+        merge_quantile_states,
+        streaming_quantile_states,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    src = tmp_path / "q_src"
+    src.mkdir()
+    li.filter("l_orderkey % 2 = 0").coalesce(1).write.parquet(str(src / "a"))
+    li.filter("l_orderkey % 2 = 1").coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_quantile_states(stream, _Q_VALUE, _Q_KEY, k=512, n_buckets=8)
+        .writeStream.format("memory")
+        .queryName("q_states")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "q_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    latest = spark.sql(
+        "select bucket, hs, vs from (select *, row_number() over "
+        "(partition by bucket order by upd desc) rn from q_states) where rn = 1"
+    ).toPandas()
+    got = merge_quantile_states(latest, k=512)
+    want = (
+        sampled_quantiles(li, _Q_VALUE, _Q_KEY, k=512)
+        .orderBy("q_permille")
+        .toPandas()
+    )
+    got = got.sort_values("q_permille", ignore_index=True)
+    assert got["q_permille"].tolist() == want["q_permille"].tolist()
+    assert got["value"].tolist() == want["value"].tolist()
