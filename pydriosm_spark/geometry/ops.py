@@ -256,6 +256,8 @@ def polygon_measures_wkt_batch(wkt) -> tuple[np.ndarray, np.ndarray]:
     import pandas as pd
 
     s = pd.Series(wkt).reset_index(drop=True)
+    if len(s) == 0:  # a post-filter Arrow batch can be empty (ADVICE r3)
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
     if not s.str.match(r"^\s*POLYGON\s*\(").all():
         raise ValueError("polygon_measures_wkt_batch handles POLYGON WKT only")
     body = s.str.replace(r"^\s*POLYGON\s*\(\(", "", regex=True).str.replace(

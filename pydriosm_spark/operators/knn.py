@@ -58,9 +58,17 @@ def knn_bruteforce(
     point_keys: list[str] | None = None,
     u: str = "u",
     v: str = "v",
+    broadcast: bool = True,
 ) -> DataFrame:
+    """``broadcast=False`` drops the broadcast hint so the cross join
+    runs as a block-partitioned CartesianProduct instead of shipping the
+    whole place side to every executor — required when |places| exceeds
+    executor memory (knn_cell's uncertified-point fallback threads its
+    ``broadcast_places`` flag here so a >2M-place side is never
+    broadcast, ADVICE r3)."""
     point_keys = point_keys or ["doc_id", "mention_idx"]
-    cand = _with_d2(points.crossJoin(F.broadcast(places)), u, v)
+    placed = F.broadcast(places) if broadcast else places
+    cand = _with_d2(points.crossJoin(placed), u, v)
     return _topk(cand, point_keys, k)
 
 
@@ -83,9 +91,10 @@ def knn_cell(
     once the place side outgrows an executor (the equality condition
     ``cx + dx == pcx`` is key-extractable, so Catalyst plans a regular
     hash/sort-merge join; equivalence-tested against the broadcast
-    form).  The fallback then also broadcasts nothing: uncertified
-    points brute-force only when the place side still fits
-    (knn_bruteforce's own contract)."""
+    form).  The flag threads into the uncertified-point fallback too:
+    ``knn_bruteforce(..., broadcast=False)`` runs the residual cross
+    join as a partitioned CartesianProduct rather than broadcasting a
+    place side the flag says is too big (ADVICE r3)."""
     point_keys = point_keys or ["doc_id", "mention_idx"]
     S, R = int(cell_size), int(disk_radius)
 
@@ -146,7 +155,10 @@ def knn_cell(
     )
 
     slow_pts = points.join(certified, point_keys, "left_anti")
-    slow = knn_bruteforce(slow_pts, places, k=k, point_keys=point_keys, u=u, v=v)
+    slow = knn_bruteforce(
+        slow_pts, places, k=k, point_keys=point_keys, u=u, v=v,
+        broadcast=broadcast_places,
+    )
     return fast.unionByName(slow)
 
 

@@ -482,8 +482,33 @@ def kmeans_fit(
     stride = max(1, n // k)
     from pyspark.sql import Window
 
-    ranked = raw.withColumn(
-        "_rn", F.row_number().over(Window.orderBy(id_col)) - 1
+    # Global rank by id WITHOUT a global window (ADVICE r3: an
+    # un-partitioned Window.orderBy funnels the whole table through one
+    # task).  Two-phase rank instead: range-repartition on id so
+    # partitions tile the id space in order, rank within each partition,
+    # and offset by the (tiny, driver-combined) per-partition counts —
+    # both passes fully parallel, global rank exact regardless of where
+    # the sampled range boundaries land.
+    parts = max(int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    s = raw.repartitionByRange(parts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = {r["_pid"]: r["cnt"] for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    off, offsets = 0, {}
+    for pid in sorted(pc):
+        offsets[pid] = off
+        off += pc[pid]
+    off_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    ranked = (
+        s.withColumn(
+            "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(id_col)) - 1
+        )
+        .join(off_df, "_pid")
+        .withColumn("_rn", F.col("_lrn") + F.col("_off"))
     )
     init = ranked.filter(F.col("_rn") % stride == 0).orderBy("_rn").limit(k).collect()
     assert len(init) == k, f"kmeans init selected {len(init)} != k={k} seeds"

@@ -221,9 +221,25 @@ class PartitionedCheckpoint:
         return dropped
 
     # -- read --------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, allow_missing: bool = False) -> DataFrame:
+        """Read every committed partition.  The manifest is the source of
+        truth: a committed partition with no on-disk directory means
+        storage rot (or an external delete), and silently skipping it
+        would hand the consumer a truncated table — so this raises,
+        pointing at ``catalogue()``/``pending()`` for re-ingest planning
+        (ADVICE r3).  ``allow_missing=True`` opts into best-effort
+        reading of whatever survives."""
         dirs = self._partition_dirs()
-        paths = [dirs[v] for v in self.committed() if v in dirs]
+        committed = self.committed()
+        missing = [v for v in committed if v not in dirs]
+        if missing and not allow_missing:
+            raise FileNotFoundError(
+                f"{len(missing)} committed partition(s) missing on disk "
+                f"({', '.join(sorted(missing)[:5])}{'...' if len(missing) > 5 else ''}); "
+                "storage rot — inspect plans.catalogue()/pending() to re-ingest, "
+                "or pass allow_missing=True for a best-effort partial read"
+            )
+        paths = [dirs[v] for v in committed if v in dirs]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
     def lineage(self, spark: SparkSession) -> DataFrame:

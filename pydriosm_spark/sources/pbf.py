@@ -1005,9 +1005,15 @@ def relation_layers_distributed(
                 rows, columns=["layer", "id", "geometry", "properties", "src_file"]
             )
 
-    return grouped.mapInPandas(build_rels, schema).unionByName(
+    out = grouped.mapInPandas(build_rels, schema).unionByName(
         ways_ct.mapInPandas(build_way_polys, schema)
     )
+    # The cached primitive rows must not stay pinned for the application
+    # lifetime (ADVICE r3).  The result is lazy, so the unpersist is the
+    # caller's to trigger once the layers are materialized:
+    # ``df.release_primitives()``.
+    out.release_primitives = lambda blocking=False: prims.unpersist(blocking)
+    return out
 
 
 def read_pbf_points_layer(spark: SparkSession, path: str) -> DataFrame:

@@ -126,6 +126,14 @@ def test_knn_cell_shuffle_form_equals_broadcast(spark):
     places = synth.places_df(spark)
     a = knn.knn_cell(spark, points, places, k=3).toPandas()
     b_df = knn.knn_cell(spark, points, places, k=3, broadcast_places=False)
+    # ADVICE r3: the flag must reach the uncertified-point fallback too —
+    # no join anywhere in the plan (probe OR brute-force residual cross
+    # join) may carry a broadcast HINT that would override Spark's size
+    # statistics once the place side outgrows an executor.  (At fixture
+    # scale Spark may still auto-broadcast from stats — that's the
+    # planner's call, which honest stats at 2M+ places would flip.)
+    p = b_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in p, p[:3000]
     b = b_df.toPandas()
     key = ["doc_id", "mention_idx", "rank"]
     import pandas as pd

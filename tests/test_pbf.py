@@ -159,7 +159,9 @@ def test_relation_layers_distributed_byte_identical(spark, parsed):
         "multipolygons": pbf.assemble_multipolygons(nodes, ways, rels),
         "other_relations": pbf.assemble_other_relations(nodes, ways, rels),
     }
-    dist = pbf.relation_layers_distributed(spark, PBF_PATH, n_tasks=8).toPandas()
+    dist_df = pbf.relation_layers_distributed(spark, PBF_PATH, n_tasks=8)
+    dist = dist_df.toPandas()
+    dist_df.release_primitives()  # ADVICE r3: caller unpersists after materializing
     for layer, feats in singles.items():
         want = {
             (f["id"], "osm_way_id" in f["properties"]): (

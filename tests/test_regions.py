@@ -171,9 +171,8 @@ def test_pbf_to_checkpoint_to_catalogue_end_to_end(spark, tmp_path):
     from pydriosm_spark.sources import pbf
 
     path = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
-    layers = pbf.relation_layers_distributed(spark, path).select(
-        "layer", "id", "geometry"
-    )
+    rel_df = pbf.relation_layers_distributed(spark, path)
+    layers = rel_df.select("layer", "id", "geometry")
     want = {r["layer"]: r["n"] for r in layers.groupBy("layer").count()
             .withColumnRenamed("count", "n").collect()}
     assert set(want) == {"multilinestrings", "multipolygons", "other_relations"}
@@ -183,6 +182,7 @@ def test_pbf_to_checkpoint_to_catalogue_end_to_end(spark, tmp_path):
     with _pytest.raises(RuntimeError, match="injected"):
         ck.run(layers, run_id="r1", fail_after=1)
     res = ck.run(layers, run_id="r2")
+    rel_df.release_primitives()  # ADVICE r3: unpersist after the commit materialized
     assert len(res.skipped_partitions) == 1 and len(res.written_partitions) == 2
 
     cat = {r["partition"]: r for r in C.catalogue(spark, ck).collect()}

@@ -215,6 +215,37 @@ def test_checkpoint_rejects_null_partition(spark, tmp_path):
         ck.run(df, run_id="r1")
 
 
+def test_checkpoint_read_raises_on_storage_rot(spark, tmp_path):
+    """A committed partition whose directory vanished (storage rot /
+    external delete) must fail the read loudly — the manifest is the
+    source of truth, and a silently truncated table is worse than an
+    error (ADVICE r3).  allow_missing=True opts into the partial read."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(30).withColumn("part", (F.col("id") % 3).cast("string"))
+    ck = PartitionedCheckpoint(str(tmp_path / "rot"), "part")
+    ck.run(df, run_id="r1")
+    # rot one committed partition's directory, manifest untouched
+    shutil.rmtree(ck._partition_dirs()["1"])
+    with pytest.raises(FileNotFoundError, match="storage rot"):
+        ck.read(spark)
+    assert ck.read(spark, allow_missing=True).count() == 20
+
+
+def test_polygon_measures_batch_empty_input():
+    """A zero-row Arrow batch (possible after filters) must return empty
+    arrays, not IndexError (ADVICE r3)."""
+    import pandas as pd
+
+    from pydriosm_spark.geometry.ops import polygon_measures_wkt_batch
+
+    areas, perims = polygon_measures_wkt_batch(pd.Series([], dtype=object))
+    assert len(areas) == 0 and len(perims) == 0
+
+
 def test_asof_null_payload_comes_from_matched_row(spark):
     """The matched (latest) right row's NULL payload must surface as
     NULL — not silently replaced by an older right row's value (DuckDB
