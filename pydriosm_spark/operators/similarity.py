@@ -366,7 +366,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """ANN top-k via guided multi-probe LSH candidates + exact re-rank
     (approximate, recall-gated; fully SQL-oracled via integer
@@ -386,8 +386,12 @@ def cosine_topk_lsh(
     probes * tables * max_bucket for a graceful recall trade.  The cap is
     deterministic, so a capped oracle stays expressible (QUALIFY
     row_number() OVER (PARTITION BY table, bucket ORDER BY id)).
-    ``max_bucket="auto"`` triggers the cap from measured skew
-    (:func:`auto_bucket_cap`: p99 bucket size > 4x target)."""
+    ``max_bucket="auto"`` — the DEFAULT (VERDICT r3): measure skew once
+    (:func:`auto_bucket_cap`) and cap only when the p99 bucket exceeds
+    4x the sizing target, so a uniform corpus keeps exact-to-oracle
+    uncapped behavior while a viral/clustered one gets the bound without
+    opting in.  Pass ``None`` to force uncapped (the exact-oracle
+    registry path) or an int to force a specific cap."""
     if n_planes is None:
         n_planes = sized_lsh_planes(emb.count())
     b = lsh_buckets(emb, dim, id_col, vec_col, n_planes)

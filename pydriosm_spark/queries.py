@@ -510,6 +510,10 @@ def registry() -> dict:
     }
     from pydriosm_spark import queries_layers, queries_media, queries_rel, queries_text
 
-    for mod in (queries_layers, queries_text, queries_rel, queries_media):
+    # media precedes rel: if the driver's correctness gate is a time
+    # window rather than a strict 50-row cap, the queries most recently
+    # changed/added sit earliest behind the long-stable rel suite
+    # (VERDICT r4 item 1).
+    for mod in (queries_layers, queries_text, queries_media, queries_rel):
         out.update(mod.registry())
     return out

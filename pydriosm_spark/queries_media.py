@@ -248,6 +248,72 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.media_table(spark, sf_dir))
 
 
+def q_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Features + 2x block-mean resize of every image in ONE registry
+    row (VERDICT r4: media_image_features and media_image_resize merged
+    so the whole registry fits the driver's 50-query gate; both kernels
+    stay separate public surfaces).  Joined on media_id — two
+    mapInPandas passes over the same source, co-partitioned by key."""
+    m = M.media_table(spark, sf_dir)
+    feats = M.image_features(m)
+    rz = M.image_resize(m, factor=2).select(
+        "media_id",
+        F.col("width").alias("resized_width"),
+        F.col("height").alias("resized_height"),
+        F.expr("md5(lower(hex(payload)))").alias("resized_md5hex"),
+    )
+    return feats.join(rz, "media_id")
+
+
+def oracle_media_image() -> str:
+    """oracle_image_features + oracle_image_resize flattened over ONE
+    shared ``imgs`` CTE (both standalone oracles began with the identical
+    source-pixel reconstruction), joined on media_id."""
+    n_px = "(w * h * 3)"
+    return f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+         {_stream_hex("'img' || doc_id", "(8 + doc_id % 9) * (6 + doc_id % 7) * 3")} AS px_hex
+  FROM documents WHERE doc_id % 3 = 0
+),
+fb AS (
+  SELECT media_id, w, h, r.i AS i,
+         ('0x' || substr(px_hex, r.i * 2 + 1, 2))::BIGINT AS b
+  FROM imgs, range(0, {_IMG_MAX}) r(i)
+  WHERE r.i < {n_px}
+),
+feats AS (
+  SELECT media_id, w, h,
+         CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) * 10000 // (w * h) AS BIGINT) AS mean_r_e4,
+         CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) * 10000 // (w * h) AS BIGINT) AS mean_g_e4,
+         CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) * 10000 // (w * h) AS BIGINT) AS mean_b_e4
+  FROM fb GROUP BY media_id, w, h
+),
+px AS (
+  SELECT media_id, w // 2 AS nw, h // 2 AS nh,
+         r.i // (w * 3) AS y, (r.i % (w * 3)) // 3 AS x, r.i % 3 AS ch,
+         ('0x' || substr(px_hex, r.i * 2 + 1, 2))::BIGINT AS b
+  FROM imgs, range(0, {_IMG_MAX}) r(i)
+  WHERE r.i < w * h * 3
+),
+small AS (
+  SELECT media_id, nw, nh, y // 2 AS ry, x // 2 AS rx, ch,
+         CAST(sum(b) // 4 AS BIGINT) AS v
+  FROM px WHERE y < nh * 2 AND x < nw * 2
+  GROUP BY media_id, nw, nh, y // 2, x // 2, ch
+),
+hexs AS (
+  SELECT media_id, nw, nh,
+         string_agg(lower(lpad(to_hex(v), 2, '0')), '' ORDER BY ry, rx, ch) AS ph
+  FROM small GROUP BY media_id, nw, nh
+)
+SELECT f.media_id, CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
+       f.mean_r_e4, f.mean_g_e4, f.mean_b_e4,
+       CAST(x.nw AS INT) AS resized_width, CAST(x.nh AS INT) AS resized_height,
+       md5('46494d47' || {_i32le_hex("x.nw")} || {_i32le_hex("x.nh")} || x.ph) AS resized_md5hex
+FROM feats f JOIN hexs x USING (media_id)"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(M.media_table(spark, sf_dir))
 
@@ -257,10 +323,12 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def registry() -> dict:
+    # media_image_features + media_image_resize merged into media_image
+    # (VERDICT r4: the whole registry must fit the driver's 50-query
+    # gate); both standalone callables/oracles stay public and tested.
     return {
         "media_manifest": (q_media_manifest, oracle_media_manifest()),
-        "media_image_features": (q_image_features, oracle_image_features()),
-        "media_image_resize": (q_image_resize, oracle_image_resize()),
+        "media_image": (q_media_image, oracle_media_image()),
         "media_quarantine": (q_media_quarantine, oracle_media_quarantine()),
         "media_audio_features": (q_audio_features, oracle_audio_features()),
         "media_video_frames": (q_video_frame_sample, oracle_video_frames()),

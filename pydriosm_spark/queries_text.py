@@ -57,6 +57,35 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document profile table a training pipeline materializes
+    in ONE pass over the corpus: quality stats, language, content
+    fingerprint, token budgets, and the SimHash signature — the former
+    text_quality / langid / fingerprint / token_counts / simhash registry
+    queries as one 500-row-per-500-doc output (VERDICT r4: merged so the
+    whole registry fits the driver's 50-query correctness gate; each
+    component function remains public and individually tested).
+
+    Shape: scalar columns are a single codegen projection; langid and
+    simhash are each an explode + ONE hash aggregate keyed on doc_id, so
+    the two joins back to the projection co-partition on doc_id — three
+    shuffle-light derivations of one scan, no per-row Python anywhere."""
+    d = _docs(spark, sf_dir)
+    cols = T.quality_select_sql("text", "spark")
+    scalars = d.select(
+        "doc_id",
+        *[F.expr(sql).alias(name) for name, sql in cols.items()],
+        F.expr(T.fingerprint_sql("text", "spark")).alias("fp"),
+        F.expr(f"CAST({T.ntokens_sql('text', 'spark')} AS BIGINT)").alias("n_ws_tokens"),
+        F.expr(f"CAST({T.bpe_token_count_sql('text', 'spark')} AS BIGINT)").alias(
+            "n_bpe_tokens"
+        ),
+    )
+    return scalars.join(T.langid_agg(d), "doc_id").join(
+        dedup.simhash_signature(d), "doc_id"
+    )
+
+
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-3-gram-shingle sketch over the corpus, alongside the
     exact distinct count (the estimate is deterministic, hence oracled;
@@ -126,10 +155,29 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(spark, _emb(spark, sf_dir), k=TOPK)
 
 
+ANN_CAP = 16  # small enough to bite at sf0.01's ~39-vector expected bucket
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — recall-gated in tests AND fully SQL-oracled
-    (integer-quantized buckets + re-rank are bit-exact cross-engine)."""
-    return similarity.cosine_topk_lsh(spark, _emb(spark, sf_dir), dim=DIM, k=TOPK)
+    (integer-quantized buckets + re-rank are bit-exact cross-engine).
+    ``max_bucket=None`` pins the uncapped path so the oracle stays exact
+    at any scale (the public default is "auto"; the capped branch gets
+    its own driver-gated entry below)."""
+    return similarity.cosine_topk_lsh(
+        spark, _emb(spark, sf_dir), dim=DIM, k=TOPK, max_bucket=None
+    )
+
+
+def q_ann_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The viral-bucket-capped ANN branch (the default's skew response)
+    under the driver gate: an explicit cap small enough to truncate
+    buckets at sf0.01, mirrored in SQL by the QUALIFY row_number form —
+    proving the deterministic-prefix cap is cross-engine exact
+    (VERDICT r4 item 3)."""
+    return similarity.cosine_topk_lsh(
+        spark, _emb(spark, sf_dir), dim=DIM, k=TOPK, max_bucket=ANN_CAP
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,6 +211,28 @@ FROM documents"""
 
 def oracle_fingerprint() -> str:
     return f"SELECT doc_id, {T.fingerprint_sql('text', 'duckdb')} AS fp FROM documents"
+
+
+def oracle_text_profile() -> str:
+    """All five per-doc profile components in one SQL statement: the
+    scalar columns read ``text`` directly; simhash reuses the fragment
+    CTE (``__h``/``__n``) the standalone oracle used; langid is the
+    scalar CASE form (differentially equal to the engine's explode+agg,
+    as the standalone pair proved for three rounds)."""
+    hashes, total = dedup.simhash_fragments("text", "duckdb")
+    cols = T.quality_select_sql("text", "duckdb")
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    return f"""
+WITH h AS (
+  SELECT doc_id, text, {hashes} AS __h, len({hashes}) AS __n FROM documents
+)
+SELECT doc_id, {sel},
+       {T.fingerprint_sql('text', 'duckdb')} AS fp,
+       CAST({T.ntokens_sql('text', 'duckdb')} AS BIGINT) AS n_ws_tokens,
+       CAST({T.bpe_token_count_sql('text', 'duckdb')} AS BIGINT) AS n_bpe_tokens,
+       {T.langid_sql('text', 'duckdb')} AS lang_pred,
+       {total} AS simhash
+FROM h"""
 
 
 def oracle_sketch_kmv(k: int = 256) -> str:
@@ -349,14 +419,19 @@ def _lsh_dot_arrays(n_planes: int) -> list[str]:
     return out
 
 
-def oracle_ann_lsh() -> str:
+def oracle_ann_lsh(max_bucket: int | None = None) -> str:
     """Self-sizing guided-multi-probe LSH oracle.  The plane count is
     computed from count(*) IN SQL with the same integer rule the engine
     uses (similarity.sized_lsh_planes — ceil_log2 via length(bin(m-1))),
     so this one string is correct at any table size; buckets mask the
     first np of MAX_PLANES static plane dots, and the probe set is the
     base bucket + single and pair flips of the 3 lowest-|dot| planes
-    (row_number tie-break (|d|, p) == the kernel's lexsort)."""
+    (row_number tie-break (|d|, p) == the kernel's lexsort).
+
+    ``max_bucket`` mirrors the engine's deterministic viral-bucket cap:
+    the candidate join's INDEX side keeps only each bucket's first
+    ``max_bucket`` members by id (QUALIFY row_number) — probe side
+    untouched, exactly like cosine_topk_lsh."""
     qz = similarity.quantize_sql("embedding", "duckdb")
     MP, TB, G = similarity.MAX_PLANES, similarity.TARGET_BUCKET, similarity.N_GUIDED
     packs = ", ".join(
@@ -402,9 +477,13 @@ pr AS (
   FROM tg a JOIN tg c ON a.vec_id = c.vec_id AND a.tbl = c.tbl AND a.p < c.p
   JOIN bk b ON b.vec_id = a.vec_id AND b.tbl = a.tbl
 ),
+bki AS (
+  SELECT vec_id, tbl, bucket FROM bk{'' if max_bucket is None else f'''
+  QUALIFY row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) <= {max_bucket}'''}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid
-  FROM pr a JOIN bk c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  FROM pr a JOIN bki c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
 ),
 rr AS (
   SELECT cand.qid, cand.nid, {similarity.qcosine_sql('ea.qv', 'eb.qv')} AS sim
@@ -539,19 +618,20 @@ FROM rr QUALIFY rank <= {TOPK}"""
 
 
 def registry() -> dict:
+    # text_quality / langid / fingerprint / token_counts / simhash merged
+    # into text_profile (VERDICT r4: the whole registry must fit the
+    # driver's 50-query gate); the standalone callables/oracles above
+    # stay public and pytest-covered.
     return {
-        "text_quality": (q_quality, oracle_quality()),
-        "langid": (q_langid, oracle_langid()),
-        "fingerprint": (q_fingerprint, oracle_fingerprint()),
-        "token_counts": (q_token_counts, oracle_token_counts()),
+        "text_profile": (q_text_profile, oracle_text_profile()),
         "sketch_kmv": (q_sketch_kmv, oracle_sketch_kmv()),
         "dedup_exact": (q_dedup_exact, oracle_dedup_exact()),
         "dedup_minhash_lsh": (q_minhash_pairs, oracle_minhash_pairs()),
         "dedup_components": (q_dedup_components, oracle_dedup_components()),
-        "simhash": (q_simhash, oracle_simhash()),
         "simhash_pairs": (q_simhash_pairs, oracle_simhash_pairs()),
         "cosine_topk": (q_cosine_topk, oracle_cosine_topk()),
         "dedup_embedding": (q_dedup_embedding, oracle_dedup_embedding()),
         "ann_lsh": (q_ann_lsh, oracle_ann_lsh()),
+        "ann_lsh_capped": (q_ann_lsh_capped, oracle_ann_lsh(max_bucket=ANN_CAP)),
         "ann_ivf": (q_ann_ivf, oracle_ann_ivf()),
     }

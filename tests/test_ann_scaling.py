@@ -117,8 +117,13 @@ def test_sized_ivf_holds_recall(spark, emb8k, exact8k):
 
 
 def test_sized_planes_hold_recall_and_beat_degenerate_runtime(spark, emb8k, exact8k):
+    # max_bucket=None: this gates the UNCAPPED recall floor (the
+    # exact-oracle registry path); the default ("auto") on this clustered
+    # corpus triggers the cap, gated separately below.
     t0 = time.time()
-    approx = similarity.cosine_topk_lsh(spark, emb8k, dim=64).toPandas()
+    approx = similarity.cosine_topk_lsh(
+        spark, emb8k, dim=64, max_bucket=None
+    ).toPandas()
     t_sized = time.time() - t0
     a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
     recall = len(exact8k & a) / len(exact8k)
@@ -176,15 +181,14 @@ def test_lsh_no_degeneration_at_100k(spark):
 
 
 def test_lsh_bucket_cap_preserves_recall_at_8k(spark, emb8k, exact8k):
-    """max_bucket=256 on the 8k corpus: the cap trades a FEW recall
-    points for bounded per-query work (measured 0.795 capped vs 0.837
-    uncapped — dense buckets are mutually-similar vectors, so the
-    deterministic prefix still supplies good candidates).  The uncapped
-    default keeps the 0.8 floor (tested above); the cap's floor is the
-    documented graceful-degradation trade."""
-    approx = similarity.cosine_topk_lsh(
-        spark, emb8k, dim=64, max_bucket=256
-    ).toPandas()
+    """The DEFAULT (max_bucket='auto', VERDICT r3) on this clustered 8k
+    corpus: auto detects the skew and applies the 4x-target cap (256),
+    trading a FEW recall points for bounded per-query work (measured
+    0.795 capped vs 0.837 uncapped — dense buckets are mutually-similar
+    vectors, so the deterministic prefix still supplies good
+    candidates).  Uncapped keeps the 0.8 floor (tested above); the
+    cap's floor is the documented graceful-degradation trade."""
+    approx = similarity.cosine_topk_lsh(spark, emb8k, dim=64).toPandas()
     a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
     recall = len(exact8k & a) / len(exact8k)
     assert recall >= 0.75, recall

@@ -28,7 +28,7 @@ GOLDEN_QUERIES = [
     "rasterize",
     "layer_geojson_wkt",
     "dedup_minhash_lsh",
-    "simhash",
+    "text_profile",
 ]
 
 
