@@ -130,6 +130,140 @@ def shape_to_wkt(shape_type: int, coordinates, parts=None) -> str | None:
 
 
 # ---------------------------------------------------------------------------
+# batch GeoJSON -> WKT (the 100 TB layer-conversion hot path)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _fmt_f64_batch(flat: np.ndarray) -> np.ndarray:
+    """float64 array -> the exact strings :func:`geometry.wkt._fmt`
+    emits, vectorized: numpy's unicode cast IS shortest-repr for float64
+    (numpy >= 1.14), and integral values re-render through an int64
+    cast.  Returns an OBJECT array — elementwise ``+`` on object string
+    arrays is ~8x faster than np.char.add's fixed-width path.
+    (Integral values beyond int64 would fall back to the float repr —
+    unreachable for WGS84 coordinates.)"""
+    out = flat.astype("U32").astype(object)
+    ints = (flat == np.floor(flat)) & (np.abs(flat) < 2**63)
+    if ints.any():
+        out[ints] = flat[ints].astype(np.int64).astype("U21").astype(object)
+    return out
+
+
+def _pair_strs(mat: np.ndarray) -> np.ndarray:
+    """(N, 2) float64 -> N object strings ``"x y"`` (vectorized concat)."""
+    return _fmt_f64_batch(mat[:, 0]) + " " + _fmt_f64_batch(mat[:, 1])
+
+
+def _ring_strs(rings: list) -> list:
+    """List of per-ring coordinate lists -> per-ring joined coordinate
+    strings.  Per-POINT work (float formatting) happens ONCE over the
+    whole flattened batch; only the per-ring join is a Python-level loop
+    (C ``str.join`` over precomputed pair strings) — the same altitude
+    as the reduceat kernels in geometry/ops.py."""
+    if not rings:
+        return []
+    counts = np.fromiter((len(r) for r in rings), dtype=np.int64, count=len(rings))
+    flat = np.concatenate([np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings])
+    pairs = _pair_strs(flat)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return [", ".join(pairs[offs[j]:offs[j + 1]]) for j in range(len(rings))]
+
+
+def geojson_to_wkt_batch(s: pd.Series) -> pd.Series:
+    """Batch path for :func:`geojson_to_wkt` over a series of GeoJSON
+    strings — identical output, no per-row lambda (VERDICT r4 item 2):
+
+    * ONE ``json.loads`` per batch (the strings wrap into a single JSON
+      array, so parsing is one C call);
+    * ALL coordinates of each geometry family flatten into one float64
+      matrix whose formatting is vectorized (``_fmt_f64_batch``);
+    * assembly joins precomputed pair strings per ring / per geometry;
+    * only GeometryCollection (the rare other_relations shape) falls
+      back to the per-geometry builder — over already-parsed dicts.
+    """
+    out = np.full(len(s), None, dtype=object)
+    mask = s.notna().to_numpy()
+    if not mask.any():
+        return pd.Series(out, index=s.index)
+    vals = s.to_numpy(dtype=object)[mask]
+    geoms = json.loads("[" + ",".join(vals) + "]")
+    types = np.array([g["type"] for g in geoms], dtype=object)
+    res = np.empty(len(geoms), dtype=object)
+
+    idx = np.nonzero(types == "Point")[0]
+    if len(idx):
+        xy = np.array(
+            [geoms[i]["coordinates"][:2] for i in idx], dtype=np.float64
+        )
+        res[idx] = "POINT (" + _pair_strs(xy) + ")"
+
+    idx = np.nonzero(types == "LineString")[0]
+    if len(idx):
+        coords = [geoms[i]["coordinates"] for i in idx]
+        body = _ring_strs(coords)
+        res[idx] = [
+            "LINESTRING EMPTY" if len(c) == 0 else "LINESTRING (" + b + ")"
+            for c, b in zip(coords, body)
+        ]
+
+    idx = np.nonzero(types == "MultiLineString")[0]
+    if len(idx):
+        lines = [geoms[i]["coordinates"] for i in idx]
+        nlines = [len(ls) for ls in lines]
+        body = _ring_strs([l for ls in lines for l in ls])
+        offs = np.concatenate(([0], np.cumsum(nlines)))
+        res[idx] = [
+            "MULTILINESTRING EMPTY" if nlines[j] == 0 else
+            "MULTILINESTRING ("
+            + ", ".join(f"({b})" for b in body[offs[j]:offs[j + 1]])
+            + ")"
+            for j in range(len(idx))
+        ]
+
+    idx = np.nonzero(types == "Polygon")[0]
+    if len(idx):
+        rings_per = [[_close_ring(r) for r in geoms[i]["coordinates"]] for i in idx]
+        nrings = [len(rs) for rs in rings_per]
+        body = _ring_strs([r for rs in rings_per for r in rs])
+        offs = np.concatenate(([0], np.cumsum(nrings)))
+        res[idx] = [
+            "POLYGON EMPTY" if nrings[j] == 0 else
+            "POLYGON ("
+            + ", ".join(f"({b})" for b in body[offs[j]:offs[j + 1]])
+            + ")"
+            for j in range(len(idx))
+        ]
+
+    idx = np.nonzero(types == "MultiPolygon")[0]
+    if len(idx):
+        # reference quirk preserved: every ring becomes its own
+        # single-ring polygon (holes are NOT holes)
+        rings_per = [
+            [_close_ring(ring) for part in point_as_polygon(geoms[i]["coordinates"])
+             for ring in part]
+            for i in idx
+        ]
+        nrings = [len(rs) for rs in rings_per]
+        body = _ring_strs([r for rs in rings_per for r in rs])
+        offs = np.concatenate(([0], np.cumsum(nrings)))
+        res[idx] = [
+            "MULTIPOLYGON ("
+            + ", ".join(f"(({b}))" for b in body[offs[j]:offs[j + 1]])
+            + ")"
+            for j in range(len(idx))
+        ]
+
+    done = np.isin(types, ("Point", "LineString", "MultiLineString", "Polygon", "MultiPolygon"))
+    for i in np.nonzero(~done)[0]:
+        res[i] = geojson_to_wkt(geoms[i])
+
+    out[mask] = res
+    return pd.Series(out, index=s.index)
+
+
+# ---------------------------------------------------------------------------
 # vectorized UDFs
 # ---------------------------------------------------------------------------
 
@@ -140,4 +274,4 @@ def hstore_udf(s: pd.Series) -> pd.Series:
 
 @F.pandas_udf(StringType())
 def geojson_wkt_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: geojson_to_wkt(json.loads(x)), na_action="ignore")
+    return geojson_to_wkt_batch(s)
