@@ -73,6 +73,50 @@ def catalogue(spark: SparkSession, ck: PartitionedCheckpoint) -> DataFrame:
     return spark.createDataFrame(rows, CATALOG_SCHEMA)
 
 
+COLUMN_INFO_SCHEMA = (
+    "partition string, column_name string, ordinal_position int, "
+    "data_type string, nullable boolean"
+)
+
+
+def table_column_info(
+    spark: SparkSession,
+    ck: PartitionedCheckpoint,
+    partitions: list | None = None,
+    as_dict: bool = False,
+):
+    """What columns/types does this landed layer have — the engine's
+    analogue of the reference's information-schema introspection
+    (/root/reference/pydriosm/ios/_ios.py:399 ``get_table_column_info``,
+    which returns per-column rows for a landed layer table).  Facts come
+    from the parquet footers of each committed on-disk partition (a
+    footer-only read — no data scan), so schema drift BETWEEN partitions
+    is visible: one row per (partition, column) with the column's
+    ordinal position, Spark SQL type string, and nullability.
+
+    ``as_dict=True`` returns ``{partition: {column: data_type}}`` (the
+    reference's ``as_dict`` shape) instead of a DataFrame."""
+    done = ck.committed()
+    dirs = ck._partition_dirs()
+    targets = (
+        sorted(done) if partitions is None else [str(p) for p in partitions]
+    )
+    rows = []
+    for part in targets:
+        path = dirs.get(part)
+        if part not in done or path is None:
+            continue
+        schema = spark.read.parquet(path).schema
+        for pos, f in enumerate(schema.fields):
+            rows.append((part, f.name, pos, f.dataType.simpleString(), f.nullable))
+    if as_dict:
+        out: dict = {}
+        for part, col, _pos, dtype, _n in rows:
+            out.setdefault(part, {})[col] = dtype
+        return out
+    return spark.createDataFrame(rows, COLUMN_INFO_SCHEMA)
+
+
 def pending(spark: SparkSession, ck: PartitionedCheckpoint, targets: list) -> list:
     """Resume frontier: which of ``targets`` still need a (re-)ingest —
     never committed, or committed but with missing/empty data on disk."""

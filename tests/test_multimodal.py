@@ -90,3 +90,85 @@ def test_media_kernels_run_on_streams(spark, tmp_path):
         for r in spark.sql("select * from media_validate_stream").collect()
     }
     assert got == batch and len(got) == 60
+
+
+# --- codec pluggability seam (VERDICT r4 item 7) ---------------------------
+# An alternate trivial container: b"ALT!" + big-endian uint16 dims +
+# body.  If the full pipeline runs against THESE payloads with only the
+# decode/encode callables swapped, the kernel surfaces are codec-free —
+# dropping in PIL/librosa/pyav later changes nothing but the callables.
+# (Decoders are defined INSIDE the test so cloudpickle ships them by
+# value — exactly how a user would inject a lambda-free local codec.)
+
+
+def test_codec_seam_runs_pipeline_with_injected_decoder(spark):
+    """image_features / image_resize / audio_features / video_frame_sample
+    over ALT-container payloads with injected decoders: outputs equal the
+    numpy ground truth computed directly from the alternate container —
+    no kernel knows which codec ran."""
+    ALT_MAGIC = b"ALT!"
+
+    def alt_make_image(px):
+        h, w = px.shape[:2]
+        return ALT_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + px.tobytes()
+
+    def alt_decode_image(buf):
+        assert buf[:4] == ALT_MAGIC
+        w, h = int.from_bytes(buf[4:6], "big"), int.from_bytes(buf[6:8], "big")
+        return np.frombuffer(buf[8 : 8 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+    def alt_decode_audio(buf):
+        assert buf[:4] == ALT_MAGIC
+        n = int.from_bytes(buf[4:6], "big")
+        return 44100, np.frombuffer(buf[8 : 8 + n * 2], dtype=">i2").astype(np.int16)
+
+    def alt_decode_video(buf):
+        assert buf[:4] == ALT_MAGIC
+        w, h = int.from_bytes(buf[4:6], "big"), int.from_bytes(buf[6:8], "big")
+        nf = int.from_bytes(buf[8:10], "big")
+        return np.frombuffer(buf[10 : 10 + w * h * nf], dtype=np.uint8).reshape(nf, h, w)
+
+    rng = np.random.RandomState(11)
+    img_px = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    pcm = rng.randint(-3000, 3000, 64, dtype=np.int16)
+    frames = rng.randint(0, 256, (4, 3, 5), dtype=np.uint8)
+
+    rows = [
+        (0, "image", alt_make_image(img_px)),
+        (1, "audio", ALT_MAGIC + len(pcm).to_bytes(2, "big") + b"\0\0"
+         + pcm.astype(">i2").tobytes()),
+        (2, "video", ALT_MAGIC + frames.shape[2].to_bytes(2, "big")
+         + frames.shape[1].to_bytes(2, "big") + frames.shape[0].to_bytes(2, "big")
+         + frames.tobytes()),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+    f = M.image_features(media, decode=alt_decode_image).collect()[0]
+    sums = img_px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    want = (sums * 10000) // (6 * 8)
+    assert (f["width"], f["height"]) == (8, 6)
+    assert [f["mean_r_e4"], f["mean_g_e4"], f["mean_b_e4"]] == [int(x) for x in want]
+
+    # resize decodes ALT and re-encodes ALT via the injected encoder;
+    # round-trip through the alternate container byte-exactly
+    r = M.image_resize(
+        media, factor=2, decode=alt_decode_image, encode=alt_make_image
+    ).collect()[0]
+    small = (
+        img_px.reshape(3, 2, 4, 2, 3).astype(np.uint32).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert (r["width"], r["height"]) == (4, 3)
+    assert bytes(r["payload"]) == alt_make_image(small)
+    assert alt_decode_image(bytes(r["payload"])).shape == (3, 4, 3)
+
+    a = M.audio_features(media, decode=alt_decode_audio).collect()[0]
+    p64 = pcm.astype(np.int64)
+    assert a["sample_rate"] == 44100 and a["n_samples"] == 64
+    assert a["rms_e4"] == int(np.sqrt((p64 * p64).mean()) * 10000) // 1
+    assert a["zero_crossings"] == int(((p64[:-1] * p64[1:]) < 0).sum())
+
+    v = M.video_frame_sample(media, every=2, decode=alt_decode_video).collect()
+    assert [x["frame_idx"] for x in v] == [0, 2]
+    for x in v:
+        fm = int(frames[x["frame_idx"]].astype(np.int64).sum() * 10000 // (5 * 3))
+        assert x["frame_mean_e4"] == fm and (x["width"], x["height"]) == (5, 3)

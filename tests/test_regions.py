@@ -123,9 +123,23 @@ def test_catalogue_answers_resume_planning(spark, tmp_path):
         assert cat[p]["bytes"] > 0 and cat[p]["n_files"] >= 1
     assert cat["c"]["on_disk"] and not cat["c"]["committed"]
     assert cat["c"]["rows"] is None
+    # column introspection (reference ios/_ios.py:399 analogue): one row
+    # per (partition, column) from parquet footers of committed data —
+    # the dead-run 'c' is absent, positions/types/nullability correct
+    info = C.table_column_info(spark, ck).collect()
+    assert {r["partition"] for r in info} == {"a", "b"}
+    a = {r["column_name"]: r for r in info if r["partition"] == "a"}
+    assert list(a) == ["id"]  # the partition column lives in the path
+    assert a["id"]["ordinal_position"] == 0
+    assert a["id"]["data_type"] == "bigint"
+    assert isinstance(a["id"]["nullable"], bool)
+    d = C.table_column_info(spark, ck, partitions=["b"], as_dict=True)
+    assert d == {"b": {"id": "bigint"}}
     # storage rot: committed 'a' loses its files
     shutil.rmtree(ck._partition_dirs()["a"])
     assert C.pending(spark, ck, ["a", "b", "c", "d"]) == ["a", "c", "d"]
+    # rot also drops 'a' from introspection (no footers to read)
+    assert {r["partition"] for r in C.table_column_info(spark, ck).collect()} == {"b"}
 
 
 def test_format_fallback_plan(spark, tier):
