@@ -1,0 +1,119 @@
+"""spark.read.format("osmpbf") — the registered Python DataSource must
+equal the function surfaces byte-for-byte (VERDICT r4 item 4), with the
+blob index built on executors and multi-file inputs handled without any
+driver-side per-file loop."""
+
+import os
+import shutil
+
+import pytest
+
+PBF_PATH = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+needs_fixture = pytest.mark.skipif(
+    not os.path.exists(PBF_PATH), reason="reference fixture absent"
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from pydriosm_spark.sources.pbf_datasource import OsmPbfDataSource
+
+    spark.dataSource.register(OsmPbfDataSource)
+    return spark
+
+
+def _points_key(df):
+    return {
+        int(r["id"]): (r["lon"], r["lat"], dict(r["properties"]))
+        for r in df.collect()
+    }
+
+
+@needs_fixture
+def test_datasource_points_byte_identical_to_function_surface(registered):
+    spark = registered
+    from pydriosm_spark.sources import pbf
+
+    via_fmt = spark.read.format("osmpbf").option("layer", "points").option(
+        "n_tasks", "8"
+    ).load(PBF_PATH)
+    want = _points_key(pbf.read_pbf_points_layer(spark, PBF_PATH))
+    got = _points_key(via_fmt)
+    assert got == want
+    # the format string really planned 8 stripes (one read task each)
+    assert via_fmt.rdd.getNumPartitions() == 8
+
+
+@needs_fixture
+def test_datasource_lines_layer_matches_read_pbf(registered):
+    spark = registered
+    from pydriosm_spark.sources import pbf
+
+    via_fmt = spark.read.format("osmpbf").option("layer", "lines").load(PBF_PATH)
+    want = {
+        int(r["id"]): (r["geometry"], dict(r["properties"]))
+        for r in pbf.read_pbf(spark, PBF_PATH, ["lines"])["lines"].collect()
+    }
+    got = {
+        int(r["id"]): (r["geometry"], dict(r["properties"]))
+        for r in via_fmt.collect()
+    }
+    assert got == want
+
+
+@needs_fixture
+def test_multi_file_index_and_datasource_read(registered, tmp_path):
+    """A directory of several PBFs: the executor-side index covers every
+    file (blob_ranges_df plans no driver loop), and the DataSource reads
+    the union with src_file distinguishing the copies."""
+    spark = registered
+    from pydriosm_spark.sources import pbf
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    for name in ("a.osm.pbf", "b.osm.pbf"):
+        shutil.copy(PBF_PATH, d / name)
+
+    # distributed index: one row per blob per file, built on executors
+    idx = pbf.index_blobs_distributed(spark, str(d)).collect()
+    per_file = {}
+    for r in idx:
+        per_file.setdefault(os.path.basename(r["path"]), []).append(
+            (r["start"], r["length"], r["block_type"])
+        )
+    assert set(per_file) == {"a.osm.pbf", "b.osm.pbf"}
+    want_idx = pbf.index_blobs(PBF_PATH)
+    for f, rows in per_file.items():
+        assert sorted(rows) == sorted(want_idx)
+
+    n_single = pbf.read_pbf_points_layer(spark, PBF_PATH).count()
+    df = spark.read.format("osmpbf").option("layer", "points").option(
+        "n_tasks", "4"
+    ).load(str(d))
+    from pyspark.sql import functions as F
+
+    counts = {
+        os.path.basename(r["src_file"]): r["n"]
+        for r in df.groupBy("src_file").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"a.osm.pbf": n_single, "b.osm.pbf": n_single}
+
+
+@needs_fixture
+def test_split_primitives_still_byte_identical_after_executor_indexing(spark):
+    """blob_ranges_df now builds its index executor-side; the splittable
+    primitives scan must stay equal to a whole-file parse."""
+    from pydriosm_spark.sources import pbf
+
+    prims = pbf.read_pbf_primitives_split(spark, PBF_PATH, n_tasks=4)
+    node_ids = sorted(
+        r["id"] for r in prims.filter("kind = 'node'").select("id").collect()
+    )
+    with open(PBF_PATH, "rb") as f:
+        n, w, r = pbf.parse_pbf(f.read())
+    assert node_ids == sorted(nd[0] for nd in n)
+
+
+def test_datasource_rejects_unknown_layer(registered):
+    with pytest.raises(Exception, match="unknown layer"):
+        registered.read.format("osmpbf").option("layer", "nope").load("/tmp").schema
