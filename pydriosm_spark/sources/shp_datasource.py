@@ -28,7 +28,15 @@ import json
 import os
 from typing import Iterator, Tuple
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 SHP_SCHEMA = (
     "layer string, record_idx long, shape_type int, "
@@ -139,6 +147,86 @@ class OsmShpReader(DataSourceReader):
                 )
 
 
+@dataclass
+class _ShpCommit(WriterCommitMessage):
+    files: tuple
+    rows: int
+
+
+class OsmShpWriter(DataSourceWriter):
+    """``df.write.format("osmshp").save(dir)`` — the shapefile SINK as a
+    DataSource (reference K1's one-call write, parser.py:631-639 dtype
+    surface via `shp_writer`): each task writes
+    ``part-<pid>-<layer>.shp/.shx/.dbf/.prj/.cpg`` per layer it sees, the
+    driver commits a ``_manifest.json`` (files + row counts, the lineage
+    sidecar) and ``_SUCCESS`` only after every task reported — a
+    half-written directory has no marker and readers can tell."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("osmshp write: .save(path) is required")
+        self.layer_col = options.get("layer_col", "layer")
+        if overwrite and os.path.isdir(self.path):
+            import shutil
+
+            for f in os.listdir(self.path):
+                shutil.rmtree(os.path.join(self.path, f), ignore_errors=True) \
+                    if os.path.isdir(os.path.join(self.path, f)) \
+                    else os.remove(os.path.join(self.path, f))
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _ShpCommit:
+        from pyspark import TaskContext
+
+        from pydriosm_spark.sources.shp_writer import write_shapefile
+
+        pid = TaskContext.get().partitionId()
+        by_layer: dict = {}
+        for row in iterator:
+            d = row.asDict()
+            layer = d.get(self.layer_col) or "layer"
+            shapes, recs = by_layer.setdefault(layer, ([], []))
+            shapes.append(
+                (
+                    int(d["shape_type"]),
+                    [(float(x), float(y)) for x, y in d["coordinates"]],
+                    [int(p) for p in (d["parts"] or [])],
+                )
+            )
+            rec = d.get("fields")
+            recs.append(json.loads(rec) if isinstance(rec, str) else (rec or {}))
+        files = []
+        total = 0
+        for layer, (shapes, recs) in by_layer.items():
+            base = os.path.join(self.path, f"part-{pid:05d}-{layer}")
+            write_shapefile(base, shapes, recs)
+            files.append(os.path.basename(base) + ".shp")
+            total += len(shapes)
+        return _ShpCommit(files=tuple(files), rows=total)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": [f for m in messages if m for f in m.files],
+            "rows": sum(m.rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if not m:
+                continue
+            for fn in m.files:
+                base = os.path.join(self.path, fn[:-4])
+                for ext in (".shp", ".shx", ".dbf", ".prj", ".cpg"):
+                    try:
+                        os.remove(base + ext)
+                    except OSError:
+                        pass
+
+
 class OsmShpDataSource(DataSource):
     """Register once per session: ``spark.dataSource.register(OsmShpDataSource)``."""
 
@@ -151,3 +239,6 @@ class OsmShpDataSource(DataSource):
 
     def reader(self, schema) -> OsmShpReader:
         return OsmShpReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> OsmShpWriter:
+        return OsmShpWriter(self.options, overwrite)
