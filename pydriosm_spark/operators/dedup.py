@@ -301,6 +301,38 @@ def simhash_fragments(text: str, dialect: str) -> tuple[str, str]:
     return hashes, "(" + " + ".join(bits) + ")"
 
 
+def simhash_agg_exprs() -> tuple:
+    """(agg_columns, signature_sql_over_the_agg_output): the 61
+    aggregates (token count + 60 bit-count sums over the per-token hash
+    column ``__h``) and the majority-vote CASE expression that folds
+    them into the signature.  Factored out so callers can RIDE the same
+    exploded token stream with extra aggregates (e.g. text_profile's
+    fused langid counts) — one explode, one shuffle for everything."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright("__h", k).bitwiseAND(F.lit(1))).alias(f"__c{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    bits = " + ".join(
+        f"(CASE WHEN 2 * __c{k} >= __n THEN CAST({1 << k} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return aggs, bits
+
+
+def tokens_with_hash(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """(key, __t, __h): the exploded whitespace-token stream with the
+    60-bit token hash projected ONCE (Catalyst would re-evaluate a bound
+    md5 expression inside each of the 60 aggregates otherwise)."""
+    return df.select(
+        key, F.explode(F.expr(f"split(trim({text}), '\\\\s+')")).alias("__t")
+    ).select(
+        key,
+        "__t",
+        F.expr("CAST(conv(substr(md5(__t), 1, 15), 16, 10) AS BIGINT)").alias("__h"),
+    )
+
+
 def simhash_signature(
     df: DataFrame, key: str = "doc_id", text: str = "text", out: str = "simhash"
 ) -> DataFrame:
@@ -311,24 +343,8 @@ def simhash_signature(
     hash agg — only |docs| x 61 longs shuffle.  Matches the HOF/oracle
     form bit-for-bit (duplicates kept: explode == full-array filter())."""
     df = _ensure_parallelism(df)
-    tok = df.select(
-        key, F.explode(F.expr(f"split(trim({text}), '\\\\s+')")).alias("__t")
-    ).select(
-        key,
-        # project the hash ONCE — Catalyst would re-evaluate a bound md5
-        # expression inside each of the 60 aggregates otherwise
-        F.expr("CAST(conv(substr(md5(__t), 1, 15), 16, 10) AS BIGINT)").alias("__h"),
-    )
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(F.shiftright("__h", k).bitwiseAND(F.lit(1))).alias(f"__c{k}")
-        for k in range(SIMHASH_BITS)
-    ]
-    wide = tok.groupBy(key).agg(*aggs)
-    bits = " + ".join(
-        f"(CASE WHEN 2 * __c{k} >= __n THEN CAST({1 << k} AS BIGINT) "
-        f"ELSE CAST(0 AS BIGINT) END)"
-        for k in range(SIMHASH_BITS)
-    )
+    aggs, bits = simhash_agg_exprs()
+    wide = tokens_with_hash(df, key, text).groupBy(key).agg(*aggs)
     return wide.select(key, F.expr(bits).alias(out))
 
 

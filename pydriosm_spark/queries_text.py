@@ -66,10 +66,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole registry fits the driver's 50-query correctness gate; each
     component function remains public and individually tested).
 
-    Shape: scalar columns are a single codegen projection; langid and
-    simhash are each an explode + ONE hash aggregate keyed on doc_id, so
-    the two joins back to the projection co-partition on doc_id — three
-    shuffle-light derivations of one scan, no per-row Python anywhere."""
+    Shape: scalar columns are a single codegen projection; langid's
+    4 stopword conditional-sums RIDE the simhash aggregation's exploded
+    token stream (both consume the identical \\s+ tokens), so the whole
+    profile is one explode + ONE 65-column hash aggregate + one doc_id
+    equi-join back to the projection — a single shuffle of |docs| x 65
+    longs, no per-row Python anywhere."""
     d = _docs(spark, sf_dir)
     cols = T.quality_select_sql("text", "spark")
     scalars = d.select(
@@ -81,9 +83,24 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
     )
-    return scalars.join(T.langid_agg(d), "doc_id").join(
-        dedup.simhash_signature(d), "doc_id"
+    sim_aggs, sim_bits = dedup.simhash_agg_exprs()
+    lang_aggs = [
+        F.sum(
+            F.when(F.col("__t").isin(ws), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"__c_{l}")
+        for l, ws in T.LANG_STOPWORDS.items()
+    ]
+    wide = (
+        dedup.tokens_with_hash(d).groupBy("doc_id").agg(*sim_aggs, *lang_aggs)
     )
+    prof = wide.select(
+        "doc_id",
+        F.expr(sim_bits).alias("simhash"),
+        F.expr(T._langid_case({l: f"__c_{l}" for l in T.LANG_STOPWORDS})).alias(
+            "lang_pred"
+        ),
+    )
+    return scalars.join(prof, "doc_id")
 
 
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:

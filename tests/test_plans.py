@@ -169,3 +169,15 @@ def test_star_join_is_broadcast_chain(spark):
     assert "SortMergeJoin" not in p, p
     o = _optimized(df)
     assert "p_size" in o and "Filter" in o, o
+
+
+def test_text_profile_single_explode_single_agg(spark):
+    """The fused per-doc profile (r4): langid's stopword sums ride the
+    simhash aggregation's token explode — exactly ONE Generate and one
+    partial+final hash-agg pair in the whole plan, no Python stages."""
+    from pydriosm_spark.queries_text import q_text_profile
+
+    p = _plan(q_text_profile(spark, SF_SMOKE))
+    assert p.count("Generate") == 1, p[:2000]
+    assert p.count("HashAggregate") == 2, p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
