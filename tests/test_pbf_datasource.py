@@ -117,3 +117,55 @@ def test_split_primitives_still_byte_identical_after_executor_indexing(spark):
 def test_datasource_rejects_unknown_layer(registered):
     with pytest.raises(Exception, match="unknown layer"):
         registered.read.format("osmpbf").option("layer", "nope").load("/tmp").schema
+
+
+@needs_fixture
+def test_streaming_pbf_ingest_exactly_once(spark, tmp_path):
+    """Continuous PBF ingest (the download-loop replacement): a file
+    lands -> availableNow drain decodes it; a second file lands -> the
+    SAME checkpoint drains only the new one; union equals the batch
+    read of both, exactly once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydriosm_spark.sources import pbf
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    sink = str(tmp_path / "points_out")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(PBF_PATH, src / "a.osm.pbf")
+
+    def drain():
+        q = (
+            pbf.read_pbf_points_layer_stream(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    n_single = pbf.read_pbf_points_layer(spark, PBF_PATH).count()
+    assert spark.read.parquet(sink).count() == n_single
+
+    shutil.copy(PBF_PATH, src / "b.osm.pbf")
+    drain()  # same checkpoint: only b processed
+    got = spark.read.parquet(sink)
+    assert got.count() == 2 * n_single
+    per_file = {
+        os.path.basename(r["f"]): r["n"]
+        for r in got.select(
+            F.element_at(F.split("src_file", "/"), -1).alias("f")
+        ).groupBy("f").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_file == {"a.osm.pbf": n_single, "b.osm.pbf": n_single}
+    # content equality: ids per file match the batch surface
+    ids = sorted(
+        r["id"] for r in got.filter(F.col("src_file").endswith("a.osm.pbf")).collect()
+    )
+    want = sorted(r["id"] for r in pbf.read_pbf_points_layer(spark, PBF_PATH).collect())
+    assert ids == want
