@@ -117,6 +117,91 @@ def table_column_info(
     return spark.createDataFrame(rows, COLUMN_INFO_SCHEMA)
 
 
+COLUMN_STATS_SCHEMA = (
+    "partition string, file string, column_name string, num_rows long, "
+    "null_count long, min_val string, max_val string"
+)
+
+
+def table_column_stats(
+    spark: SparkSession,
+    ck: PartitionedCheckpoint,
+    partitions: list | None = None,
+) -> DataFrame:
+    """Per-(partition, file, column) parquet STATISTICS — row counts,
+    null counts, min/max — the Iceberg-manifest / information_schema
+    stats view that lets a user reason about partition pruning before
+    running a query.  The driver only LISTS the committed data files;
+    the footer reads (pyarrow, metadata-only) run ON EXECUTORS via
+    mapInPandas, so a 10^5-file table introspects in parallel.  Min/max
+    render as strings (cross-type column)."""
+    import pandas as pd
+
+    done = ck.committed()
+    dirs = ck._partition_dirs()
+    targets = sorted(done) if partitions is None else [str(p) for p in partitions]
+    files = []
+    for part in targets:
+        path = dirs.get(part)
+        if part not in done or path is None:
+            continue
+        for root, _d, fs in os.walk(path):
+            files += [
+                (part, os.path.join(root, f))
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+    if not files:
+        return spark.createDataFrame([], COLUMN_STATS_SCHEMA)
+
+    src = spark.createDataFrame(files, "partition string, file string").repartition(
+        min(len(files), int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+
+    def read_footers(batches) -> "pd.DataFrame":
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for part, fpath in zip(b["partition"], b["file"]):
+                md = pq.ParquetFile(fpath).metadata
+                agg: dict = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        st = col.statistics
+                        cur = agg.setdefault(name, [0, 0, None, None])
+                        cur[0] += g.num_rows
+                        if st is not None:
+                            cur[1] += st.null_count or 0
+                            if st.has_min_max:
+                                cur[2] = st.min if cur[2] is None else min(cur[2], st.min)
+                                cur[3] = st.max if cur[3] is None else max(cur[3], st.max)
+                for name, (nr, nulls, mn, mx) in agg.items():
+                    rows.append(
+                        (
+                            part,
+                            fpath,
+                            name,
+                            nr,
+                            nulls,
+                            None if mn is None else str(mn),
+                            None if mx is None else str(mx),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "partition", "file", "column_name", "num_rows",
+                    "null_count", "min_val", "max_val",
+                ],
+            )
+
+    return src.mapInPandas(read_footers, COLUMN_STATS_SCHEMA)
+
+
 def pending(spark: SparkSession, ck: PartitionedCheckpoint, targets: list) -> list:
     """Resume frontier: which of ``targets`` still need a (re-)ingest —
     never committed, or committed but with missing/empty data on disk."""

@@ -32,6 +32,7 @@ per-blob tasks).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Iterator
@@ -708,6 +709,95 @@ def index_blobs_distributed(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["path", "start", "length", "block_type"])
 
     # one file per task: the seek-scan is I/O-bound and per-file serial
+    return files.repartition(F.col("path")).mapInPandas(scan, schema)
+
+
+def validate_pbf_file(path: str, deep: bool = False) -> tuple:
+    """(valid, reason, n_blobs): framing validation of one PBF file —
+    the quarantine check a 100 TB lake runs before committing an extract
+    to the ingest frontier (the geo analogue of media_validate).
+
+    Shallow (default): walk the blob framing — size prefixes, BlobHeader
+    parses, payload extents vs EOF — reading only headers.  ``deep=True``
+    additionally decompresses and parses every OSMData block (full read).
+    Reasons: 'too_short', 'bad_framing' (unparseable header / negative
+    size), 'truncated' (payload extends past EOF), 'no_header' (first
+    block is not OSMHeader), 'undecodable_block' (deep only)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return False, "too_short", 0
+    if size < 4:
+        return False, "too_short", 0
+    n = 0
+    first_type = None
+    try:
+        with open(path, "rb") as f:
+            while True:
+                hdr = f.read(4)
+                if len(hdr) == 0:
+                    break
+                if len(hdr) < 4:
+                    return False, "bad_framing", n
+                (hlen,) = struct.unpack(">i", hdr)
+                if hlen <= 0 or hlen > 64 * 1024:
+                    return False, "bad_framing", n
+                bh = f.read(hlen)
+                if len(bh) < hlen:
+                    return False, "truncated", n
+                btype, dsize = "", 0
+                for fno, _wt, v in _fields(bh):
+                    if fno == 1:
+                        btype = v.decode()
+                    elif fno == 3:
+                        dsize = v
+                if first_type is None:
+                    first_type = btype
+                if dsize < 0:
+                    return False, "bad_framing", n
+                if f.tell() + dsize > size:
+                    return False, "truncated", n
+                if deep and btype == "OSMData":
+                    start = f.tell() - 4 - hlen
+                    f.seek(start)
+                    buf = f.read(4 + hlen + dsize)
+                    try:
+                        for _bt, raw in iter_blocks(buf):
+                            if raw is not None:
+                                parse_block(raw)
+                    except Exception:
+                        return False, "undecodable_block", n
+                else:
+                    f.seek(dsize, 1)
+                n += 1
+    except Exception:
+        return False, "bad_framing", n
+    if first_type != "OSMHeader":
+        return False, "no_header", n
+    return True, None, n
+
+
+def pbf_validate(spark: SparkSession, path: str, deep: bool = False) -> DataFrame:
+    """(path, valid, reason, n_blobs) for every .pbf under ``path`` —
+    validation runs ON EXECUTORS over the file listing; corrupt extracts
+    route to quarantine instead of crashing a 1000-file ingest."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pbf")
+        .load(path)
+        .select("path", "length")
+    )
+    schema = "path string, valid boolean, reason string, n_blobs long"
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for uri in b["path"]:
+                p = _local_path(uri)
+                ok, reason, n = validate_pbf_file(p, deep=deep)
+                rows.append((p, ok, reason, n))
+            yield pd.DataFrame(rows, columns=["path", "valid", "reason", "n_blobs"])
+
     return files.repartition(F.col("path")).mapInPandas(scan, schema)
 
 

@@ -169,3 +169,48 @@ def test_streaming_pbf_ingest_exactly_once(spark, tmp_path):
     )
     want = sorted(r["id"] for r in pbf.read_pbf_points_layer(spark, PBF_PATH).collect())
     assert ids == want
+
+
+@needs_fixture
+def test_pbf_validate_quarantines_corrupt_files(spark, tmp_path):
+    """pbf_validate: the intact fixture passes shallow AND deep; each
+    corruption mode earns its specific verdict from the bytes."""
+    import shutil
+
+    from pydriosm_spark.sources import pbf
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    shutil.copy(PBF_PATH, d / "good.osm.pbf")
+    raw = open(PBF_PATH, "rb").read()
+    (d / "short.osm.pbf").write_bytes(raw[:2])
+    (d / "trunc.osm.pbf").write_bytes(raw[: len(raw) // 2])
+    bad = bytearray(raw)
+    bad[0:4] = (1 << 30).to_bytes(4, "big")  # absurd header length
+    (d / "frame.osm.pbf").write_bytes(bytes(bad))
+    # valid framing but garbage payload: stomp an OSMData blob body
+    idx = pbf.index_blobs(PBF_PATH)
+    s, ln, _bt = next(r for r in idx if r[2] == "OSMData")
+    deep_bad = bytearray(raw)
+    deep_bad[s + ln - 64 : s + ln] = b"\xff" * 64
+    (d / "deepbad.osm.pbf").write_bytes(bytes(deep_bad))
+
+    got = {
+        os.path.basename(r["path"]): (r["valid"], r["reason"])
+        for r in pbf.pbf_validate(spark, str(d)).collect()
+    }
+    assert got["good.osm.pbf"] == (True, None)
+    assert got["short.osm.pbf"] == (False, "too_short")
+    assert got["trunc.osm.pbf"][0] is False and got["trunc.osm.pbf"][1] in (
+        "truncated", "bad_framing"
+    )
+    assert got["frame.osm.pbf"] == (False, "bad_framing")
+    # shallow validation cannot see inside the blob...
+    assert got["deepbad.osm.pbf"][0] is True
+    # ...deep validation can
+    deep = {
+        os.path.basename(r["path"]): (r["valid"], r["reason"])
+        for r in pbf.pbf_validate(spark, str(d), deep=True).collect()
+    }
+    assert deep["good.osm.pbf"] == (True, None)
+    assert deep["deepbad.osm.pbf"] == (False, "undecodable_block")

@@ -135,11 +135,22 @@ def test_catalogue_answers_resume_planning(spark, tmp_path):
     assert isinstance(a["id"]["nullable"], bool)
     d = C.table_column_info(spark, ck, partitions=["b"], as_dict=True)
     assert d == {"b": {"id": "bigint"}}
+    # footer statistics (Iceberg-manifest-style stats view): min/max and
+    # null counts per (partition, file, column), read on executors
+    stats = C.table_column_stats(spark, ck).collect()
+    assert {r["partition"] for r in stats} == {"a", "b"}
+    a_id = [r for r in stats if r["partition"] == "a" and r["column_name"] == "id"]
+    assert sum(r["num_rows"] for r in a_id) == 10
+    assert all(r["null_count"] == 0 for r in a_id)
+    vals = [i for i in range(30) if ["a", "b", "c"][i % 3] == "a"]
+    assert min(int(r["min_val"]) for r in a_id) == min(vals)
+    assert max(int(r["max_val"]) for r in a_id) == max(vals)
     # storage rot: committed 'a' loses its files
     shutil.rmtree(ck._partition_dirs()["a"])
     assert C.pending(spark, ck, ["a", "b", "c", "d"]) == ["a", "c", "d"]
     # rot also drops 'a' from introspection (no footers to read)
     assert {r["partition"] for r in C.table_column_info(spark, ck).collect()} == {"b"}
+    assert {r["partition"] for r in C.table_column_stats(spark, ck).collect()} == {"b"}
 
 
 def test_format_fallback_plan(spark, tier):
