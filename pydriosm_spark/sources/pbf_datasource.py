@@ -73,14 +73,25 @@ class _WholeFile(InputPartition):
 
 class OsmPbfReader(DataSourceReader):
     def __init__(self, options):
+        import json as _json
+
         self.layer = options.get("layer", "points")
         self.n_tasks = int(options.get("n_tasks", "16"))
-        path = options.get("path")
-        if not path:
-            raise ValueError("osmpbf: .load(path) or .option('path', ...) is required")
-        self.files = list_pbf_files(path)
+        paths_opt = options.get("paths")
+        if paths_opt:
+            # explicit file list (JSON array) — e.g. the validated subset
+            # from pbf_validate, so quarantined files never reach decode
+            self.files = sorted(_json.loads(paths_opt))
+        else:
+            path = options.get("path")
+            if not path:
+                raise ValueError(
+                    "osmpbf: .load(path), .option('path', ...), or "
+                    ".option('paths', json_list) is required"
+                )
+            self.files = list_pbf_files(path)
         if not self.files:
-            raise FileNotFoundError(f"osmpbf: no .pbf files under {path!r}")
+            raise FileNotFoundError("osmpbf: no .pbf files to read")
 
     def partitions(self):
         if self.layer in SPLITTABLE:

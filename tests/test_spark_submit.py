@@ -64,3 +64,41 @@ def test_spark_submit_dedup_job(tmp_path):
     # dedup must actually drop something on this corpus
     dropped = int(line[0].split("dropped=")[1])
     assert dropped > 0, line
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="spark-submit not on PATH")
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+    ),
+    reason="reference fixture absent",
+)
+def test_spark_submit_ingest_job(tmp_path):
+    """The continuous-ingest example ships the same way: validate ->
+    quarantine the corrupt extract -> DataSource-decode only the good
+    one -> partitioned commit."""
+    import json
+    import os
+
+    sys.path.insert(0, "/root/repo")
+    import package
+
+    zip_path = package.build(str(tmp_path / "pydriosm_spark.zip"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pbf = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+    shutil.copy(pbf, landing / "good.osm.pbf")
+    (landing / "bad.osm.pbf").write_bytes(open(pbf, "rb").read()[:50])
+    out = str(tmp_path / "ingest_out")
+    r = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]", "--py-files", zip_path,
+            "/root/repo/examples/ingest_job.py", str(landing), out,
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith('{"files"')]
+    assert line, r.stdout[-500:]
+    res = json.loads(line[0])
+    assert res["files"] == 1 and res["quarantined"] == 1 and res["rows"] > 5000
+    assert os.path.exists(os.path.join(out, "_quarantine"))
