@@ -64,4 +64,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # the SQL surface (qc_* / osm_* SQL-defined functions) and the two
+    # DataSource formats register per session — both are cheap catalog
+    # entries, so every get_spark() session speaks the full vocabulary
+    try:
+        from pydriosm_spark.sqlfns import register_sql_functions
+
+        register_sql_functions(spark)
+        from pydriosm_spark.sources.pbf_datasource import OsmPbfDataSource
+        from pydriosm_spark.sources.shp_datasource import OsmShpDataSource
+
+        spark.dataSource.register(OsmPbfDataSource)
+        spark.dataSource.register(OsmShpDataSource)
+    except Exception:
+        # never fail session construction over surface registration
+        # (e.g. an older Spark without SQL UDFs or Python DataSources)
+        pass
+    return spark

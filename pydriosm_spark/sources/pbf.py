@@ -605,43 +605,68 @@ LAYER_ASSEMBLERS = {
 }
 
 
+LAYER_FEATURE_SCHEMA = (
+    "id long, geometry string, properties map<string,string>, src_file string"
+)
+
+
+def _layer_decode(assembler):
+    """Per-file (path, content) -> layer feature rows kernel, shared by
+    the batch read_pbf surface and the streaming layer ingest."""
+    import json
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for fpath, content in zip(b["path"], b["content"]):
+                n, w, r = parse_pbf(bytes(content))
+                feats = sorted(assembler(n, w, r), key=lambda f: f["id"])
+                yield pd.DataFrame(
+                    [
+                        (
+                            f["id"],
+                            json.dumps(f["geometry"], separators=(",", ":")),
+                            f["properties"],
+                            fpath,
+                        )
+                        for f in feats
+                    ],
+                    columns=["id", "geometry", "properties", "src_file"],
+                )
+
+    return decode
+
+
 def read_pbf(spark: SparkSession, path: str, layer_names=None) -> dict:
     """The reference's 5-layer read_pbf surface (parser.py:1747-1955) as
     {layer_name: DataFrame(id, geometry json, properties map)}."""
-    import json
-
     names = layer_names or list(LAYER_ASSEMBLERS)
-    schema = "id long, geometry string, properties map<string,string>, src_file string"
     out = {}
     for name in names:
-        assembler = LAYER_ASSEMBLERS[name]
-
-        def decode(batches: Iterator[pd.DataFrame], assembler=assembler) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                for fpath, content in zip(b["path"], b["content"]):
-                    n, w, r = parse_pbf(bytes(content))
-                    feats = assembler(n, w, r)
-                    feats = sorted(feats, key=lambda f: f["id"])
-                    yield pd.DataFrame(
-                        [
-                            (
-                                f["id"],
-                                json.dumps(f["geometry"], separators=(",", ":")),
-                                f["properties"],
-                                fpath,
-                            )
-                            for f in feats
-                        ],
-                        columns=["id", "geometry", "properties", "src_file"],
-                    )
-
         out[name] = (
             spark.read.format("binaryFile")
             .load(path)
             .select("path", "content")
-            .mapInPandas(decode, schema)
+            .mapInPandas(_layer_decode(LAYER_ASSEMBLERS[name]), LAYER_FEATURE_SCHEMA)
         )
     return out
+
+
+def read_pbf_layer_stream(spark: SparkSession, path: str, layer: str) -> DataFrame:
+    """Continuous ingest of ANY of the 5 layers: each new .pbf landing
+    under ``path`` decodes through the same per-file assembler the batch
+    surface uses (relation layers need whole-file member context, so the
+    per-file grain is the correct streaming unit) — exactly-once via the
+    stream checkpoint, stream == batch by shared kernel."""
+    if layer not in LAYER_ASSEMBLERS:
+        raise ValueError(f"unknown layer {layer!r}; expected {list(LAYER_ASSEMBLERS)}")
+    src = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.pbf")
+        .load(path)
+        .select("path", "content")
+    )
+    return src.mapInPandas(_layer_decode(LAYER_ASSEMBLERS[layer]), LAYER_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -214,3 +214,41 @@ def test_pbf_validate_quarantines_corrupt_files(spark, tmp_path):
     }
     assert deep["good.osm.pbf"] == (True, None)
     assert deep["deepbad.osm.pbf"] == (False, "undecodable_block")
+
+
+@needs_fixture
+def test_streaming_layer_ingest_multipolygons(spark, tmp_path):
+    """Any-layer streaming ingest: multipolygons (whole-file member
+    context) drained with availableNow equals the batch read_pbf
+    surface."""
+    import shutil
+
+    from pydriosm_spark.sources import pbf
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    shutil.copy(PBF_PATH, src / "a.osm.pbf")
+    sink = str(tmp_path / "mp_out")
+    q = (
+        pbf.read_pbf_layer_stream(spark, str(src), "multipolygons")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["id"], r["geometry"]): dict(r["properties"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["id"], r["geometry"]): dict(r["properties"])
+        for r in pbf.read_pbf(spark, PBF_PATH, ["multipolygons"])["multipolygons"].collect()
+    }
+    assert got == want and len(got) > 1000
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown layer"):
+        pbf.read_pbf_layer_stream(spark, str(src), "nope")
