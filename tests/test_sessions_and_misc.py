@@ -372,3 +372,26 @@ def test_streaming_quantiles_equal_batch_sample(spark, tmp_path):
     got = got.sort_values("q_permille", ignore_index=True)
     assert got["q_permille"].tolist() == want["q_permille"].tolist()
     assert got["value"].tolist() == want["value"].tolist()
+
+
+def test_factory_sessions_speak_the_full_vocabulary(spark):
+    """get_spark() auto-registers the SQL surface and both DataSource
+    formats — a fresh factory session runs qc_*/osm_* SQL and
+    spark.read.format('osmpbf'/'osmshp') without any manual setup."""
+    import os
+
+    import pytest as _p
+
+    row = spark.sql(
+        "SELECT qc_res(qc_cell(0.0, 0.0, 14)) AS r, osm_ntokens('a b c') AS n"
+    ).collect()[0]
+    assert (row["r"], row["n"]) == (14, 3)
+
+    pbf = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+    if os.path.exists(pbf):
+        df = spark.read.format("osmpbf").option("layer", "points").option(
+            "n_tasks", "2"
+        ).load(pbf)
+        assert df.limit(5).count() == 5
+    with _p.raises(Exception):
+        spark.read.format("osmshp").load("/nonexistent-dir-xyz").count()
