@@ -83,6 +83,17 @@ def main():
             ),
         ),
         (
+            "Fused per-doc text profile (one explode, one 65-column hash agg)",
+            "langid's four stopword conditional-sums ride the simhash "
+            "aggregation's exploded token stream: the whole profile is ONE "
+            "Generate + one partial+final hash aggregate (|docs| x 65 longs "
+            "shuffle) + one doc_id equi-join to the scalar projection.  "
+            "Locked by `test_text_profile_single_explode_single_agg`.",
+            __import__("pydriosm_spark.queries_text", fromlist=["queries_text"]).q_text_profile(
+                spark, SF
+            ),
+        ),
+        (
             "City-bbox catalogue join (integer cover -> broadcast -> refine)",
             "The BBBike-style flow: each catalogue bbox explodes to its integer "
             "grid cover cells (a tiny dim — broadcast), mentions equi-join on "
