@@ -42,6 +42,10 @@ SHP_SCHEMA = (
     "layer string, record_idx long, shape_type int, "
     "coordinates array<array<double>>, parts array<int>, fields string, src_file string"
 )
+#: option("geometry", "wkt") appends the reconstructed WKT — the
+#: reference's ``emulate_gpd=True`` shapely-geometry column
+#: (parser.py:600-603) re-expressed as text geometry
+SHP_SCHEMA_WKT = SHP_SCHEMA + ", geometry_wkt string"
 
 
 def list_shp_files(path: str) -> list:
@@ -68,6 +72,7 @@ class _WholeShp(InputPartition):
 class OsmShpReader(DataSourceReader):
     def __init__(self, options):
         self.n_tasks = int(options.get("n_tasks", "8"))
+        self.with_wkt = options.get("geometry", "").lower() == "wkt"
         path = options.get("path")
         if not path:
             raise ValueError("osmshp: .load(path) or .option('path', ...) is required")
@@ -93,6 +98,20 @@ class OsmShpReader(DataSourceReader):
         layer = layer_name_of_member(base) or base[:-4]
         dbf_path = f[:-4] + ".dbf"
 
+        def row(i, st, pts, parts, rec):
+            base_row = (
+                layer, i, st,
+                [[float(x), float(y)] for x, y in pts],
+                list(parts),
+                json.dumps(rec, default=str),
+                f,
+            )
+            if not self.with_wkt:
+                return base_row
+            from pydriosm_spark.functions.transforms import shape_to_wkt
+
+            return base_row + (shape_to_wkt(st, pts, parts or None),)
+
         if isinstance(partition, _WholeShp):
             with open(f, "rb") as fh:
                 shapes = S.parse_shp(fh.read())
@@ -101,13 +120,7 @@ class OsmShpReader(DataSourceReader):
                 with open(dbf_path, "rb") as fh:
                     recs = S.parse_dbf(fh.read())
             for i, (st, pts, parts) in enumerate(shapes):
-                yield (
-                    layer, i, st,
-                    [[float(x), float(y)] for x, y in pts],
-                    list(parts),
-                    json.dumps(recs[i] if i < len(recs) else {}, default=str),
-                    f,
-                )
+                yield row(i, st, pts, parts, recs[i] if i < len(recs) else {})
             return
 
         with open(f[:-4] + ".shx", "rb") as fh:
@@ -138,13 +151,7 @@ class OsmShpReader(DataSourceReader):
                     raw = dh.read(rec_size)
                     if len(raw) == rec_size:
                         rec = S.parse_dbf_record(raw, fields) or {}
-                yield (
-                    layer, i, st,
-                    [[float(x), float(y)] for x, y in pts],
-                    list(parts),
-                    json.dumps(rec, default=str),
-                    f,
-                )
+                yield row(i, st, pts, parts, rec)
 
 
 @dataclass
@@ -235,6 +242,8 @@ class OsmShpDataSource(DataSource):
         return "osmshp"
 
     def schema(self):
+        if self.options.get("geometry", "").lower() == "wkt":
+            return SHP_SCHEMA_WKT
         return SHP_SCHEMA
 
     def reader(self, schema) -> OsmShpReader:

@@ -133,3 +133,28 @@ def test_osmshp_write_round_trip(registered, shp_dir, tmp_path):
     assert len(b) == n_src
     assert [x[1:3] for x in a] == [x[1:3] for x in b]  # geometry exact
     assert a == b  # attributes too (fixture fields are str/int-valued)
+
+
+@needs_fixture
+def test_osmshp_wkt_geometry_option(registered, shp_dir):
+    """option('geometry', 'wkt') appends the reconstructed WKT column —
+    the reference's emulate_gpd=True geometry surface — equal to
+    shape_to_wkt over the raw parse for every record."""
+    from pydriosm_spark.functions.transforms import shape_to_wkt
+
+    spark = registered
+    df = spark.read.format("osmshp").option("geometry", "wkt").option(
+        "n_tasks", "4"
+    ).load(shp_dir)
+    assert "geometry_wkt" in df.columns
+    rows = df.collect()
+    assert len(rows) > 500
+    for r in rows[:200]:
+        want = shape_to_wkt(
+            r["shape_type"],
+            [tuple(p) for p in r["coordinates"]],
+            list(r["parts"]) or None,
+        )
+        assert r["geometry_wkt"] == want
+    assert all(r["geometry_wkt"].startswith(("LINESTRING", "MULTILINESTRING", "POLYGON", "POINT"))
+               for r in rows)
