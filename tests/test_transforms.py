@@ -157,3 +157,72 @@ def test_geojson_batch_equals_per_row():
     want = s.map(lambda x: geojson_to_wkt(json.loads(x)), na_action="ignore")
     assert list(got) == list(want)
     assert got[3] is None and got[len(s) - 1] is None
+
+
+def test_geojson_canonical_fast_path_equals_parse_path():
+    """assume_canonical=True must equal the parse path byte-for-byte on
+    canonical json.dumps output (incl. integral, exponent, and -0.0
+    coordinates), and FALL BACK to parsing for anything not in
+    canonical form (spaced JSON, other types, empty coords, 3D
+    points)."""
+    import json
+
+    import pandas as pd
+
+    from pydriosm_spark.functions.transforms import geojson_to_wkt_batch
+
+    canon = [
+        {"type": "Point", "coordinates": [-0.5134241, 52.6555853]},
+        {"type": "Point", "coordinates": [1.0, -2.0]},
+        {"type": "Point", "coordinates": [1e-07, -0.0]},
+        {"type": "LineString", "coordinates": [[0.1, 0.2], [3.0, -4.5], [1e-07, 2.0]]},
+        {"type": "MultiLineString",
+         "coordinates": [[[0.5, 1.5], [2.0, 3.0]], [[4.25, 5.0], [6.0, 7.125], [8.0, 9.0]]]},
+    ]
+    rows = [json.dumps(g, separators=(",", ":")) for g in canon]
+    # non-canonical / fallback rows interleaved
+    rows += [
+        json.dumps(canon[0]),                               # spaced separators
+        json.dumps({"type": "LineString", "coordinates": []},
+                   separators=(",", ":")),                  # EMPTY
+        json.dumps({"type": "Polygon",
+                    "coordinates": [[[0, 0], [2, 0], [2, 2]]]},
+                   separators=(",", ":")),                  # other type
+        json.dumps({"type": "Point", "coordinates": [1.5, 2.5, 3.5]},
+                   separators=(",", ":")),                  # 3D point
+        None,
+    ]
+    s = pd.Series(rows, dtype=object)
+    fast = geojson_to_wkt_batch(s, assume_canonical=True)
+    slow = geojson_to_wkt_batch(s)
+    assert list(fast) == list(slow)
+    assert fast[1] == "POINT (1 -2)"
+    assert fast[2] == "POINT (1e-07 0)"
+    assert fast[len(rows) - 1] is None
+
+
+def test_geojson_canonical_fast_path_on_real_pbf_layers(spark):
+    """The true 100 TB layer-conversion input: real Rutland lines +
+    multilinestrings geometry strings (produced by the PBF assemblers
+    via json.dumps) through the fast path == parse path on every
+    feature."""
+    import os
+
+    import pandas as pd
+    import pytest as _p
+
+    from pydriosm_spark.functions.transforms import geojson_to_wkt_batch
+    from pydriosm_spark.sources import pbf
+
+    path = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+    if not os.path.exists(path):
+        _p.skip("reference fixture absent")
+    layers = pbf.read_pbf(spark, path, ["lines", "multilinestrings"])
+    for name, df in layers.items():
+        geoms = pd.Series(
+            [r["geometry"] for r in df.select("geometry").collect()], dtype=object
+        )
+        fast = geojson_to_wkt_batch(geoms, assume_canonical=True)
+        slow = geojson_to_wkt_batch(geoms)
+        assert list(fast) == list(slow), name
+        assert len(geoms) > (5 if name == "multilinestrings" else 1000)
