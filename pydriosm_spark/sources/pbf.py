@@ -651,6 +651,26 @@ def read_pbf(spark: SparkSession, path: str, layer_names=None) -> dict:
     return out
 
 
+def read_pbf_wkt(spark: SparkSession, path: str, layer_names=None) -> dict:
+    """The reference's read->transform flow in one call: every layer's
+    features with ``geometry_wkt`` alongside the GeoJSON — i.e.
+    ``read_osm_pbf`` + ``transform_geometry`` (_reader.py:374 +
+    transformer.py:272-340) fused.  The WKT conversion runs the
+    CANONICAL string-surgery fast path (the layer builders serialized
+    the GeoJSON themselves via json.dumps, so the producer contract
+    holds by construction): Point/LineString/MultiLineString rows reuse
+    their number bytes verbatim (~12x), polygons and collections take
+    the parse path inside the same UDF."""
+    from pydriosm_spark.functions.transforms import geojson_wkt_canonical_udf
+
+    out = {}
+    for name, df in read_pbf(spark, path, layer_names).items():
+        out[name] = df.withColumn(
+            "geometry_wkt", geojson_wkt_canonical_udf("geometry")
+        )
+    return out
+
+
 def read_pbf_layer_stream(spark: SparkSession, path: str, layer: str) -> DataFrame:
     """Continuous ingest of ANY of the 5 layers: each new .pbf landing
     under ``path`` decodes through the same per-file assembler the batch

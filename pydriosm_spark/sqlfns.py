@@ -78,6 +78,19 @@ def _defs() -> list:
             f"'max_lat', CAST({c_y} + 1 AS DOUBLE) * 180.0 / {bn} - 90.0)",
         ),
         (
+            "qc_children",
+            "cell BIGINT",
+            "ARRAY<BIGINT>",
+            f"array("
+            + ", ".join(
+                f"CAST({c_res} + 1 AS BIGINT) * {_RES_MULT}"
+                f" + ({c_x} * 2 + {dx}) * {_X_MULT} + ({c_y} * 2 + {dy})"
+                for dx in (0, 1)
+                for dy in (0, 1)
+            )
+            + ")",
+        ),
+        (
             "osm_ntokens",
             "text STRING",
             "BIGINT",

@@ -128,3 +128,23 @@ def test_pure_sql_spatial_join(sqlfns):
         "SELECT qc_cell(lon, lat, 8) c FROM pp"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in p and "BatchEvalPython" not in p
+
+
+def test_qc_children_matches_kernel(sqlfns):
+    spark = sqlfns
+    cells = [int(quadcell.cell_id(lon, lat, r)) for lon, lat, r in
+             [(-0.5, 52.6, 14), (10.0, -30.0, 5), (0.0, 0.0, 0)]]
+    df = spark.createDataFrame([(c,) for c in cells], "cell bigint")
+    df.createOrReplaceTempView("cc")
+    rows = spark.sql("SELECT cell, qc_children(cell) AS kids FROM cc").collect()
+    for r in rows:
+        assert sorted(r["kids"]) == sorted(quadcell.children(r["cell"]))
+        # children are one resolution finer and parent back to the cell
+        # (SQL UDFs can't sit directly under Generate — materialize the
+        # array in a subquery first, then explode the column)
+        back = spark.sql(
+            f"SELECT qc_parent(k, CAST(qc_res({r['cell']}) AS INT)) p "
+            f"FROM (SELECT qc_children({r['cell']}) AS kids) "
+            f"LATERAL VIEW explode(kids) t AS k"
+        ).collect()
+        assert {x["p"] for x in back} == {r["cell"]}

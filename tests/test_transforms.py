@@ -226,3 +226,25 @@ def test_geojson_canonical_fast_path_on_real_pbf_layers(spark):
         slow = geojson_to_wkt_batch(geoms)
         assert list(fast) == list(slow), name
         assert len(geoms) > (5 if name == "multilinestrings" else 1000)
+
+
+def test_read_pbf_wkt_one_call_surface(spark):
+    """read_pbf_wkt == read_pbf + per-feature geojson_to_wkt on the real
+    extract (the fused read->transform flow), with the canonical fast
+    path carrying the load."""
+    import json as _json
+    import os
+
+    import pytest as _p
+
+    from pydriosm_spark.sources import pbf
+
+    path = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+    if not os.path.exists(path):
+        _p.skip("reference fixture absent")
+    got = pbf.read_pbf_wkt(spark, path, ["points", "lines"])
+    for name, df in got.items():
+        rows = df.select("id", "geometry", "geometry_wkt").limit(500).collect()
+        assert len(rows) == 500
+        for r in rows:
+            assert r["geometry_wkt"] == geojson_to_wkt(_json.loads(r["geometry"]))
