@@ -171,6 +171,15 @@ def run_suite(spark, sf_dir: str):
     )
     timed("cosine_topk", lambda: similarity.cosine_topk_bruteforce(spark, emb, k=5).count())
 
+    # the fused per-doc profile (1 explode + 1 65-col hash agg) and the
+    # media image pipeline (decode + features + resize), over the raw
+    # driver tables at this SF — regression signal for both families
+    from pydriosm_spark.queries_media import q_media_image
+    from pydriosm_spark.queries_text import q_text_profile
+
+    timed("text_profile", lambda: q_text_profile(spark, sf_dir).count())
+    timed("media_image", lambda: q_media_image(spark, sf_dir).count())
+
     return times, prepare_sec, n_mentions, n_joined
 
 
