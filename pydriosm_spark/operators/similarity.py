@@ -512,6 +512,14 @@ def kmeans_fit(
     s = raw.repartitionByRange(parts, F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Materialize the range partitioning ONCE (ADVICE r4): the
+    # range-exchange boundaries come from per-execution sampling, so the
+    # count job and the ranked join below would otherwise each re-sample
+    # and could place boundary rows in different partitions on inputs
+    # larger than the sample — making the collected offsets wrong and the
+    # global ranks duplicate/skip.  persist() pins one set of partitions
+    # that both jobs read.
+    s = s.persist()
     pc = {r["_pid"]: r["cnt"] for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     off, offsets = 0, {}
     for pid in sorted(pc):
@@ -530,6 +538,7 @@ def kmeans_fit(
         .withColumn("_rn", F.col("_lrn") + F.col("_off"))
     )
     init = ranked.filter(F.col("_rn") % stride == 0).orderBy("_rn").limit(k).collect()
+    s.unpersist()
     assert len(init) == k, f"kmeans init selected {len(init)} != k={k} seeds"
     cents = _qmat(pd.Series([np.asarray(r[vec_col]) for r in init]))
     dim = cents.shape[1]

@@ -100,7 +100,11 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_pred"
         ),
     )
-    return scalars.join(prof, "doc_id")
+    # LEFT join (ADVICE r4): a NULL-text document yields no exploded
+    # token rows (split(trim(NULL)) -> NULL -> explode drops it), and an
+    # inner join would silently drop the document from the profile while
+    # the scalar-SQL oracle still emits its row with NULL metrics.
+    return scalars.join(prof, "doc_id", "left")
 
 
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,18 +67,38 @@ def get_spark(
     spark = b.getOrCreate()
     # the SQL surface (qc_* / osm_* SQL-defined functions) and the two
     # DataSource formats register per session — both are cheap catalog
-    # entries, so every get_spark() session speaks the full vocabulary
-    try:
+    # entries, so every get_spark() session speaks the full vocabulary.
+    # Registrations are INDEPENDENT try blocks (ADVICE r4): a regression
+    # in one surface must not silently disable the others, and a genuine
+    # failure is logged, never swallowed into an invisible no-op.
+    def _register(what, fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - version-dependent
+            import warnings
+
+            warnings.warn(
+                f"pydriosm_spark: {what} registration skipped: {type(e).__name__}: {e}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    def _sqlfns():
         from pydriosm_spark.sqlfns import register_sql_functions
 
         register_sql_functions(spark)
+
+    def _pbf_ds():
         from pydriosm_spark.sources.pbf_datasource import OsmPbfDataSource
-        from pydriosm_spark.sources.shp_datasource import OsmShpDataSource
 
         spark.dataSource.register(OsmPbfDataSource)
+
+    def _shp_ds():
+        from pydriosm_spark.sources.shp_datasource import OsmShpDataSource
+
         spark.dataSource.register(OsmShpDataSource)
-    except Exception:
-        # never fail session construction over surface registration
-        # (e.g. an older Spark without SQL UDFs or Python DataSources)
-        pass
+
+    _register("SQL functions", _sqlfns)
+    _register("osmpbf DataSource", _pbf_ds)
+    _register("osmshp DataSource", _shp_ds)
     return spark
