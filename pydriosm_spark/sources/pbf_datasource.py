@@ -23,9 +23,14 @@ Partitioning (VERDICT r4 item 4 — no driver-side blob loop):
 * relation-dependent layers (``lines``, ``multilinestrings``,
   ``multipolygons``, ``other_relations``) need whole-file member
   context, so they partition per FILE and run the single-machine
-  assemblers — the reference's per-extract model.  For one huge file,
-  the distributed-join forms (``lines_layer_distributed``,
-  ``relation_layers_distributed``) remain the scale path.
+  assemblers — the reference's per-extract model.  The task STREAMS
+  the file blob-by-blob (never ``fh.read()`` of the whole file), so
+  peak raw-byte memory is one blob; decoded primitives still
+  accumulate per file, which is why a LOUD size guard
+  (``max_file_bytes``, default 1 GiB) rejects files whose assembly
+  would risk a single-executor OOM and points at the distributed-join
+  forms (``lines_layer_distributed``, ``relation_layers_distributed``)
+  — the scale path for one huge file (VERDICT r4 item 2).
 
 Blob framing has no sync marker, so a task cannot enter a PBF at an
 arbitrary byte offset; the header seek-scan is the cheapest exact way to
@@ -77,6 +82,8 @@ class OsmPbfReader(DataSourceReader):
 
         self.layer = options.get("layer", "points")
         self.n_tasks = int(options.get("n_tasks", "16"))
+        #: per-file assembly bound for relation layers (see module doc)
+        self.max_file_bytes = int(options.get("max_file_bytes", str(1 << 30)))
         paths_opt = options.get("paths")
         if paths_opt:
             # explicit file list (JSON array) — e.g. the validated subset
@@ -147,8 +154,33 @@ class OsmPbfReader(DataSourceReader):
         import json
 
         f = partition.file
+        size = os.path.getsize(f)
+        if size > self.max_file_bytes:
+            raise ValueError(
+                f"osmpbf: {f!r} is {size:,} bytes, over the per-file assembly "
+                f"bound of {self.max_file_bytes:,} for layer {self.layer!r} — a "
+                "relation layer assembles one file per task.  Use "
+                "pydriosm_spark.sources.pbf.relation_layers_distributed / "
+                "lines_layer_distributed (member-join plan, no whole-file "
+                "state on any task) for files this size, or raise the "
+                "max_file_bytes option explicitly."
+            )
+        # stream blob-by-blob: peak raw-byte memory is ONE blob, not the
+        # file; decoded primitives accumulate (bounded by the guard above)
+        n, w, r = [], [], []
+        index = P.index_blobs(f)
         with open(f, "rb") as fh:
-            n, w, r = P.parse_pbf(fh.read())
+            for start, ln, bt in index:
+                if bt != "OSMData":
+                    continue
+                fh.seek(start)
+                for btype, raw in P.iter_blocks(fh.read(ln)):
+                    if btype != "OSMData" or raw is None:
+                        continue
+                    bn, bw, br = P.parse_block(raw)
+                    n.extend(bn)
+                    w.extend(bw)
+                    r.extend(br)
         feats = sorted(P.LAYER_ASSEMBLERS[self.layer](n, w, r), key=lambda x: x["id"])
         for feat in feats:
             yield (
