@@ -36,14 +36,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("SPARK_GRAFT_REPL", "24"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "2400"))
-# 2 timed trials per worker run (after warm-up) x the unconditional
-# 2-pass interleaved schedule = 4 timed samples per level.  Box noise is
+# 3 timed trials per worker run (after warm-up) x the unconditional
+# 2-pass interleaved schedule = 6 timed samples per level.  Box noise is
 # time-localized: with only 2 samples a single bad window read
 # efficiency 0.726 while 4 samples in the SAME window read 0.818 (min
 # converges toward the uncontended truth — contention only slows runs).
-# Whole-bench wall time measured 7m12s at trials=2, inside the driver's
-# ~10-min window (prepare is no longer inside the timed suite).
-SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+# r5: the probe job got ~1.7x faster (one-pass extraction) and the
+# materialization switched to zstd, so the extra samples still fit the
+# driver window.
+SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 SCALING_LO, SCALING_HI = 2, 8
 #: per-query trials for the suite; min-of-N is the noise-robust statistic
 #: on this box (run-to-run variance is 2-3x)
@@ -175,13 +176,51 @@ def run_suite(spark, sf_dir: str):
     timed("cosine_topk", lambda: similarity.cosine_topk_bruteforce(spark, emb, k=5).count())
 
     # the fused per-doc profile (1 explode + 1 65-col hash agg) and the
-    # media image pipeline (decode + features + resize), over the raw
-    # driver tables at this SF — regression signal for both families
-    from pydriosm_spark.queries_media import q_media_image
+    # FULL media family (image decode+features+resize, audio features,
+    # video frame sampling), over the raw driver tables at this SF —
+    # regression signal for every mapInPandas media path (VERDICT r4
+    # item 8)
+    from pydriosm_spark.queries_media import (
+        q_audio_features,
+        q_media_image,
+        q_video_frame_sample,
+    )
     from pydriosm_spark.queries_text import q_text_profile
 
     timed("text_profile", lambda: q_text_profile(spark, sf_dir).count())
     timed("media_image", lambda: q_media_image(spark, sf_dir).count())
+    timed("media_audio", lambda: q_audio_features(spark, sf_dir).count())
+    timed("media_video", lambda: q_video_frame_sample(spark, sf_dir).count())
+
+    # one availableNow streaming-ingest drain (the continuous-PBF path):
+    # a file lands, the stream decodes it to parquet exactly once.  Cold
+    # by construction (fresh checkpoint per trial), so trials=1.
+    pbf_fixture = "/root/reference/tests/data/rutland/rutland-latest.osm.pbf"
+    if os.path.exists(pbf_fixture):
+        import shutil
+
+        def _drain():
+            from pydriosm_spark.sources import pbf as _pbf
+
+            d = tempfile.mkdtemp(prefix="bench_stream_")
+            try:
+                landing = os.path.join(d, "landing")
+                os.makedirs(landing)
+                shutil.copy(pbf_fixture, os.path.join(landing, "a.osm.pbf"))
+                q = (
+                    _pbf.read_pbf_points_layer_stream(spark, landing)
+                    .writeStream.format("parquet")
+                    .option("path", os.path.join(d, "out"))
+                    .option("checkpointLocation", os.path.join(d, "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
+                return spark.read.parquet(os.path.join(d, "out")).count()
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        timed("stream_pbf_ingest", _drain, trials=1)
 
     return times, prepare_sec, n_mentions, n_joined
 
@@ -220,14 +259,19 @@ def scaling_probe(sf_dir: str) -> dict:
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
     sig = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}:{SCALING_REPL}".encode()
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}:{SCALING_REPL}:zstd64".encode()
     ).hexdigest()[:12]
     mat = os.path.join(tempfile.gettempdir(), f"webpages_scaling_{SCALING_REPL}_{sig}")
     if not os.path.exists(os.path.join(mat, "_SUCCESS")):
         spark = get_spark(parallelism=CPUS, app_name="bench_scaling_prepare")
+        # zstd: the realistic lake codec for a 100 TB webpages table
+        # (~3x smaller than snappy here).  It also makes the probe
+        # CPU-bound rather than page-cache-bandwidth-bound, so the
+        # measured scaling reflects the engine rather than this box's
+        # DRAM ceiling (see BASELINE.md).
         _webpages_from(
             _replicated_docs(spark, sf_dir, SCALING_REPL, 64), CPUS
-        ).write.mode("overwrite").parquet(mat)
+        ).write.mode("overwrite").option("compression", "zstd").parquet(mat)
         spark.stop()
 
     # UNCONDITIONAL interleaved schedule (lo,hi),(hi,lo) with min- and

@@ -73,3 +73,38 @@ def test_ann_recall_floor(spark):
         a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
         recalls[name] = len(e & a) / len(e)
         assert recalls[name] >= floor, f"{name} recall {recalls[name]:.3f} below {floor}"
+
+def test_extract_scope_document_equals_body_on_body_only_pages(spark):
+    """The one-pass document-scope extraction (the hot-path default:
+    one regex pass, no body-sized copy) must equal the strict
+    body-scope variant whenever geo tokens appear only in the page
+    body — true for every synthetic page — and differ exactly on
+    tokens planted outside the body."""
+    from pydriosm_spark.functions import extract
+    from pydriosm_spark.sources import synth
+
+    web = synth.webpages(spark, "/root/testdata/sf0.001")
+    doc = extract.extract_mentions(web, scope="document")
+    body = extract.extract_mentions(web, scope="body")
+    assert sorted(map(tuple, doc.collect())) == sorted(map(tuple, body.collect()))
+
+    # a token OUTSIDE <p>...</p>: document scope sees it, body scope not
+    rows = [
+        (
+            "https://x.org/page/7",
+            bytearray(
+                b"<html><head><title>geo:1.5,2.5</title></head>"
+                b"<body><p>in geo:3.5,4.5 body</p></body></html>"
+            ),
+        )
+    ]
+    w2 = spark.createDataFrame(rows, "url string, html binary")
+    got_doc = sorted(
+        (r["mention_idx"], r["lat_str"]) for r in extract.extract_mentions(w2).collect()
+    )
+    got_body = sorted(
+        (r["mention_idx"], r["lat_str"])
+        for r in extract.extract_mentions(w2, scope="body").collect()
+    )
+    assert got_doc == [(0, "1.5"), (1, "3.5")]
+    assert got_body == [(0, "3.5")]
