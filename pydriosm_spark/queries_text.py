@@ -573,17 +573,24 @@ def oracle_ann_ivf(iterations: int = 5) -> str:
     """Unrolled distributed-Lloyd oracle: every iteration's assignment +
     integer re-quantized mean is exact arithmetic, so the final inverted
     lists, probes, and re-rank equal similarity.cosine_topk_ivf's.
-    n_lists / n_probe are computed from count(*) IN SQL with the engine's
-    integer sizing rule (similarity.sized_ivf_params: nl = 2^(ceil_log2(N)
-    //2), probe = min(nl, max(8, nl//8))) — one string, any scale."""
+    n_lists / n_probe_max / budget are computed from count(*) IN SQL
+    with the engine's integer sizing rule (similarity.sized_ivf_params),
+    and the TWO-STAGE budget probe (centroid-rank order, keep a list
+    while the running size of prior kept lists < budget) is mirrored
+    with the same window — one string, any scale."""
     qz = similarity.quantize_sql("embedding", "duckdb")
+    AVG, BF = similarity.IVF_AVG_LIST, similarity.IVF_BUDGET_FLOOR
     parts = [
         f"e AS (SELECT vec_id, {qz} AS qv FROM embeddings)",
         "nn AS (SELECT count(*) AS n FROM e)",
-        """pp AS (
+        f"""pp AS (
   SELECT n,
-         CASE WHEN n <= 1 THEN 1
-              ELSE 1::BIGINT << (length(bin(n - 1)) // 2) END AS nl
+         greatest(4, least(
+           CASE WHEN (n + {AVG - 1}) // {AVG} <= 1 THEN 1
+                ELSE 1::BIGINT << length(bin((n + {AVG - 1}) // {AVG} - 1)) END,
+           CASE WHEN n <= 1 THEN 4
+                ELSE 4::BIGINT << (length(bin(n - 1)) // 2) END)) AS nl,
+         greatest({BF}, n // {AVG}) AS budget
   FROM nn
 )""",
         """c0 AS (
@@ -614,9 +621,25 @@ def oracle_ann_ivf(iterations: int = 5) -> str:
         )
     parts.append(_ivf_assign_cte("af", f"c{iterations}"))
     parts.append("idx AS (SELECT vec_id AS nid, list_id FROM af WHERE rn = 1)")
+    parts.append("lsz AS (SELECT list_id, count(*) AS lsize FROM idx GROUP BY list_id)")
+    # stage 1: top n_probe_max lists by centroid rank; stage 2: keep a
+    # list while the running size of higher-ranked kept lists < budget
     parts.append(
-        "pr AS (SELECT vec_id AS qid, list_id FROM af, pp "
-        "WHERE af.rn <= least(pp.nl, greatest(8, pp.nl // 8)))"
+        """pw AS (
+  SELECT af.vec_id AS qid, af.list_id, af.rn, coalesce(l.lsize, 0) AS lsize
+  FROM af LEFT JOIN lsz l ON l.list_id = af.list_id, pp
+  WHERE af.rn <= least(pp.nl, greatest(8, pp.nl // 16))
+)"""
+    )
+    parts.append(
+        """pr AS (
+  SELECT qid, list_id FROM (
+    SELECT qid, list_id,
+           coalesce(sum(lsize) OVER (PARTITION BY qid ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+    FROM pw
+  ), pp WHERE cumb < pp.budget
+)"""
     )
     parts.append(
         "cand AS (SELECT DISTINCT pr.qid, idx.nid FROM pr JOIN idx USING (list_id) WHERE pr.qid <> idx.nid)"
