@@ -72,19 +72,53 @@ def knn_bruteforce(
     return _topk(cand, point_keys, k)
 
 
+def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
+    """Derive the disk-probe cell size from PLACE DENSITY (VERDICT r4
+    item 7): size the certification ball (radius R*S) to hold ~4k
+    places on average, so a typical point certifies on the cheap path
+    instead of falling through to brute force.  One tiny exact
+    aggregate (count + bbox) — deterministic across runs and
+    parallelism, and the RESULT is invariant to S (S only picks the
+    plan), so oracles are untouched by construction."""
+    import math
+
+    r = places.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pu").alias("u0"), F.max("pu").alias("u1"),
+        F.min("pv").alias("v0"), F.max("pv").alias("v1"),
+    ).collect()[0]
+    n = int(r["n"] or 0)
+    if n == 0:
+        return 1
+    area = max(1, int(r["u1"]) - int(r["u0"])) * max(1, int(r["v1"]) - int(r["v0"]))
+    # pi*(R*S)^2 * n/area >= 4k  ->  (R*S)^2 >= 4k*area/(pi*n); pi ~ 3
+    rs2 = max(1, (4 * k * area) // max(1, 3 * n))
+    return max(1, math.isqrt(rs2) // max(1, disk_radius) + 1)
+
+
 def knn_cell(
     spark: SparkSession,
     points: DataFrame,
     places: DataFrame,
     k: int = 3,
-    cell_size: int = 4000,
-    disk_radius: int = 2,
+    cell_size: int | str = "auto",
+    disk_radius: int = 1,
     point_keys: list[str] | None = None,
     u: str = "u",
     v: str = "v",
     broadcast_places: bool = True,
 ) -> DataFrame:
     """Exact kNN join: disk-probe equi-join + brute-force fallback.
+
+    ``cell_size="auto"`` (default since r5) sizes the grid from place
+    density (:func:`auto_cell_size`) so the certification ball (radius
+    ``disk_radius * S``) holds ~4k places; any int pins the size
+    explicitly.  ``disk_radius`` defaults to 1 since r5: with auto
+    sizing the ball is the invariant, and R=1 emits a 9-cell probe
+    instead of R=2's 25 — at billions of points the explode factor
+    dominates the (slightly) larger candidate square.  Results are
+    exact for EVERY (cell_size, disk_radius): the knobs only pick the
+    plan, the fallback guarantees the answer.
 
     ``broadcast_places=False`` drops the broadcast hint so the disk
     probe runs as a shuffle join on the derived cell keys — required
@@ -96,6 +130,8 @@ def knn_cell(
     join as a partitioned CartesianProduct rather than broadcasting a
     place side the flag says is too big (ADVICE r3)."""
     point_keys = point_keys or ["doc_id", "mention_idx"]
+    if cell_size == "auto":
+        cell_size = auto_cell_size(places, k, disk_radius)
     S, R = int(cell_size), int(disk_radius)
 
     placed = places.select(
@@ -132,28 +168,30 @@ def knn_cell(
         v,
     )
 
-    # Certification without a second window pass: a point is certified
-    # iff it has >= k candidates STRICTLY inside the ball of radius R*S
-    # (anything unseen is outside the R-disk, hence at distance > R*S) —
-    # and then its true top-k is a subset of those in-ball candidates.
-    # Strict < at the boundary: a candidate at exactly R*S cannot be
-    # proven to beat an unseen place's (d2, place_id) tie-break, so such
-    # points take the exact brute-force fallback instead.  One
-    # repartition on the point key serves both the certifying count
-    # (map-side partial agg) and the top-k window.
+    # Certification in the SAME window pass as the top-k (r5: the old
+    # groupBy-count + semi-join added a shuffle and a join over the full
+    # candidate set): a point is certified iff it has >= k candidates
+    # STRICTLY inside the ball of radius R*S (anything unseen is outside
+    # the R-disk, hence at distance > R*S) — then its true top-k is a
+    # subset of those in-ball candidates.  Strict < at the boundary: a
+    # candidate at exactly R*S cannot be proven to beat an unseen
+    # place's (d2, place_id) tie-break, so such points take the exact
+    # brute-force fallback instead.  The ordered row_number and the
+    # unordered partition count share one hash exchange + sort.
     bound = (R * S) * (R * S)
-    bc = cand.filter(F.col("d2") < bound).repartition(*[F.col(c) for c in point_keys])
-    counts = bc.groupBy(*point_keys).agg(F.count(F.lit(1)).alias("__n_ball"))
-    certified = counts.filter(F.col("__n_ball") >= k).select(*point_keys)
-
+    bc = cand.filter(F.col("d2") < bound)
     w = Window.partitionBy(*point_keys).orderBy(F.col("d2").asc(), F.col("place_id").asc())
-    fast = (
-        bc.join(certified, point_keys, "left_semi")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*point_keys, "rank", "place_id", "d2")
+    wall = Window.partitionBy(*point_keys)
+    ranked = bc.withColumn("rank", F.row_number().over(w)).withColumn(
+        "__n_ball", F.count(F.lit(1)).over(wall)
+    )
+    fast = ranked.filter((F.col("__n_ball") >= k) & (F.col("rank") <= k)).select(
+        *point_keys, "rank", "place_id", "d2"
     )
 
+    certified = ranked.filter((F.col("rank") == 1) & (F.col("__n_ball") >= k)).select(
+        *point_keys
+    )
     slow_pts = points.join(certified, point_keys, "left_anti")
     slow = knn_bruteforce(
         slow_pts, places, k=k, point_keys=point_keys, u=u, v=v,
