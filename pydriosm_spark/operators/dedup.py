@@ -119,10 +119,14 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text") -
     # (partial aggregation map-side; only |docs| x 16 values shuffle).
     # NOT a higher-order-function fold: Spark evaluates HOF lambdas
     # interpreted per element (~10x slower than this codegen path).
-    sh = shingles_exploded(df, key, text)
-    h = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    # The base md5 hash is PROJECTED ONCE per shingle (r5, same recipe
+    # as tokens_with_hash): inlining it into the 16 band aggregates left
+    # 16 md5 evaluations per row on the table (~20% of signature time).
+    sh = shingles_exploded(df, key, text).select(
+        key, F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("__h")
+    )
     aggs = [
-        F.min(F.expr(_band_hash_sql(h, b))).alias(f"__mh{b}") for b in range(BANDS)
+        F.min(F.expr(_band_hash_sql("__h", b))).alias(f"__mh{b}") for b in range(BANDS)
     ]
     wide = sh.groupBy(key).agg(*aggs)
     stack = ", ".join(f"{b}, __mh{b}" for b in range(BANDS))
@@ -170,6 +174,9 @@ def minhash_lsh_pairs(
     # near-dup pair) — tiny on clean corpora, potentially billions on
     # dup-heavy ones — so AQE picks broadcast vs shuffle from the
     # runtime size instead of a wired-in assumption.
+    # (r5 note: a collect_set + array_intersect verify was measured 1.5x
+    # SLOWER than this join form at sf0.1 — string-array building beats
+    # the saved stages; the shuffle form also has no big-row hazard.)
     sh = (
         shingles_exploded(df, key, text)
         .join(cand_ids, key, "left_semi")
