@@ -181,3 +181,29 @@ def test_text_profile_single_explode_single_agg(spark):
     assert p.count("Generate") == 1, p[:2000]
     assert p.count("HashAggregate") == 2, p[:2000]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+
+
+def test_extraction_plan_is_one_pass(spark):
+    """r5: document-scope extraction runs ONE regex pass over the decoded
+    page — no body-extraction pre-pass (a second full-page scan plus a
+    body-sized copy).  The strict body scope keeps the pre-pass."""
+    web = synth.webpages(spark, SF_SMOKE)
+    p = _plan(extract.extract_mentions(web))
+    assert p.count("regexp_extract_all") == 1, p[:2000]
+    # the body-cut regexp_extract appears only for the url doc_id parse
+    assert p.count("regexp_extract(") == 1, p[:2000]
+    p_body = _plan(extract.extract_mentions(web, scope="body"))
+    assert p_body.count("regexp_extract(") == 2, p_body[:2000]
+
+
+def test_knn_cell_certification_rides_topk_window(spark):
+    """r5: the in-ball certification count shares the top-k window's
+    exchange — no groupBy aggregate + LeftSemi join over the candidate
+    set; only the fallback's LeftAnti remains."""
+    from pydriosm_spark.operators import knn
+
+    m = extract.extract_mentions(synth.webpages(spark, SF_SMOKE))
+    p = _plan(knn.knn_cell(spark, m, synth.places_df(spark), k=3))
+    assert "LeftSemi" not in p, p[:3000]
+    assert "LeftAnti" in p, p[:3000]
+    assert "WindowGroupLimit" in p, p[:3000]
