@@ -96,6 +96,7 @@ def sized_ivf_params(n: int) -> tuple:
     """
     n_lists = max(4, min(1 << ceil_log2((n + IVF_AVG_LIST - 1) // IVF_AVG_LIST),
                          4 << (ceil_log2(n) // 2)))
+    n_lists = min(max(1, n), n_lists)  # k-means needs k <= N (tiny corpora)
     n_probe_max = min(n_lists, max(8, n_lists // 16))
     budget = max(IVF_BUDGET_FLOOR, n // IVF_AVG_LIST)
     return n_lists, n_probe_max, budget

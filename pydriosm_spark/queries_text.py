@@ -585,11 +585,11 @@ def oracle_ann_ivf(iterations: int = 5) -> str:
         "nn AS (SELECT count(*) AS n FROM e)",
         f"""pp AS (
   SELECT n,
-         greatest(4, least(
+         least(greatest(1, n), greatest(4, least(
            CASE WHEN (n + {AVG - 1}) // {AVG} <= 1 THEN 1
                 ELSE 1::BIGINT << length(bin((n + {AVG - 1}) // {AVG} - 1)) END,
            CASE WHEN n <= 1 THEN 4
-                ELSE 4::BIGINT << (length(bin(n - 1)) // 2) END)) AS nl,
+                ELSE 4::BIGINT << (length(bin(n - 1)) // 2) END))) AS nl,
          greatest({BF}, n // {AVG}) AS budget
   FROM nn
 )""",

@@ -317,3 +317,22 @@ def test_lsh_no_degeneration_at_1M(spark):
     # analytic pass stays minutes-not-hours (brute force would be 10^12
     # similarity evaluations); generous bound for box noise
     assert dt < 420, dt
+
+
+def test_sized_ivf_tiny_corpora(spark):
+    """n_lists never exceeds N (k-means needs k <= N): the end-to-end
+    path works on corpora down to a handful of vectors."""
+    from pyspark.sql import functions as F2
+
+    for n in (1, 2, 3, 5, 10):
+        nl, npb, budget = similarity.sized_ivf_params(n)
+        assert 1 <= nl <= max(1, n), (n, nl)
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .orderBy("vec_id").limit(7)
+    )
+    out = similarity.cosine_topk_ivf(spark, emb, k=2).toPandas()
+    # every vector gets neighbors (budget covers the whole tiny corpus)
+    assert set(out["vec_id"].unique()) == set(
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    )
