@@ -102,3 +102,34 @@ def test_spark_submit_ingest_job(tmp_path):
     res = json.loads(line[0])
     assert res["files"] == 1 and res["quarantined"] == 1 and res["rows"] > 5000
     assert os.path.exists(os.path.join(out, "_quarantine"))
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="spark-submit not on PATH")
+def test_spark_submit_media_job(tmp_path):
+    """The multimodal pipeline ships the same way: validate ->
+    quarantine split -> per-kind features through the auto codec seam."""
+    sys.path.insert(0, "/root/repo")
+    import package
+
+    zip_path = package.build(str(tmp_path / "pydriosm_spark.zip"))
+    out = str(tmp_path / "media_out")
+    r = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            "/root/repo/examples/media_job.py",
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("MEDIA_JOB_RESULT")]
+    assert line, r.stdout[-500:]
+    # sf0.001: 500 docs cycle image/audio/video; every payload is valid
+    assert "images=167" in line[0] and "quarantined=0" in line[0], line
