@@ -177,9 +177,25 @@ def minhash_lsh_pairs(
     # (r5 note: a collect_set + array_intersect verify was measured 1.5x
     # SLOWER than this join form at sf0.1 — string-array building beats
     # the saved stages; the shuffle form also has no big-row hazard.)
+    # The verify runs over the 60-bit md5 shingle FINGERPRINT (the same
+    # engine-identical hash the signatures use), not the raw string:
+    # 8-byte long distinct/joins instead of ~30-byte string shuffles.
+    # Jaccard is therefore over each doc's distinct fingerprint set —
+    # identical to the string-set Jaccard unless two distinct shingles
+    # collide in 60 bits (~n^2/2^61; never at any tested scale), and the
+    # oracle mirrors the same fingerprint so both engines agree by
+    # construction either way.
+    # Semi-join the DOCUMENTS before exploding (r5): Catalyst does not
+    # push joins below a Generate, so filtering after shingles_exploded
+    # re-explodes the ENTIRE corpus and only then drops non-candidates.
+    # Narrowing df first means the verify explode touches candidate
+    # docs only — corpus-sized savings whenever candidates << corpus.
     sh = (
-        shingles_exploded(df, key, text)
-        .join(cand_ids, key, "left_semi")
+        shingles_exploded(df.join(cand_ids, key, "left_semi"), key, text)
+        .select(
+            key,
+            F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("s"),
+        )
         .distinct()
         # consumed THREE times (sizes + both sides of the intersect
         # join): materialize once instead of re-running the corpus

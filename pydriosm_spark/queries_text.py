@@ -326,12 +326,18 @@ pairs AS (
   FROM capped a JOIN capped b ON a.band = b.band AND a.minhash = b.minhash
   WHERE a.doc_id < b.doc_id AND a.bn <= 64 AND b.bn <= 64
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+shash AS (
+  -- verify runs over the engine-identical 60-bit md5 fingerprint
+  -- (mirrors minhash_lsh_pairs: long joins, string-set-identical
+  -- unless two shingles collide in 60 bits)
+  SELECT DISTINCT doc_id, {h} AS h FROM shingles
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shash GROUP BY doc_id),
 inter AS (
   SELECT p.id_a, p.id_b, count(*) AS inter
   FROM pairs p
-  JOIN shingles sa ON sa.doc_id = p.id_a
-  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+  JOIN shash sa ON sa.doc_id = p.id_a
+  JOIN shash sb ON sb.doc_id = p.id_b AND sb.h = sa.h
   GROUP BY p.id_a, p.id_b
 ),
 pairq AS (

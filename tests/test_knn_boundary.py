@@ -142,3 +142,39 @@ def test_knn_cell_shuffle_form_equals_broadcast(spark):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_auto_cell_size_clustering_correction(spark):
+    """r5 caveat closure: bbox-average density under-reads hotspots.
+    90% of places packed into a tiny corner of a huge bbox must yield a
+    SMALLER auto cell size than the same count spread uniformly — the
+    weighted-median occupancy pass reads the hotspot density — while
+    knn_cell(auto) stays exact vs brute force on the clustered set."""
+    import random
+
+    rng = random.Random(7)
+    hot = [(i, rng.randrange(0, 200), rng.randrange(0, 200)) for i in range(900)]
+    sparse = [
+        (900 + i, rng.randrange(0, 100_000), rng.randrange(0, 100_000))
+        for i in range(100)
+    ]
+    clustered = spark.createDataFrame(
+        hot + sparse, "place_id long, pu long, pv long"
+    )
+    uniform = spark.createDataFrame(
+        [(i, rng.randrange(0, 100_000), rng.randrange(0, 100_000)) for i in range(1000)],
+        "place_id long, pu long, pv long",
+    )
+    s_clustered = knn.auto_cell_size(clustered, k=3, disk_radius=1)
+    s_uniform = knn.auto_cell_size(uniform, k=3, disk_radius=1)
+    assert s_clustered < s_uniform // 4, (s_clustered, s_uniform)
+
+    pts = spark.createDataFrame(
+        [(i, 0, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(40)],
+        "doc_id long, mention_idx long, u long, v long",
+    )
+    got = _knn_pairs(knn.knn_cell(spark, pts, clustered, k=3, cell_size="auto"))
+    want = _knn_pairs(
+        knn.knn_bruteforce(pts, clustered, k=3, point_keys=["doc_id", "mention_idx"])
+    )
+    assert got == want
