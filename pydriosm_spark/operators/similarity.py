@@ -102,6 +102,71 @@ def sized_ivf_params(n: int) -> tuple:
     return n_lists, n_probe_max, budget
 
 
+def sized_coarse_params(n_lists: int) -> tuple:
+    """(n_super, s_probe) for the hierarchical stage-0 (coarse routing
+    over the centroid set; closes the "stage 1 evaluates all n_lists
+    centroid dots per query" honest-limit).  Integer-exact and mirrored
+    in the SQL oracle:
+
+    * ``n_super = 2^ceil(ceil_log2(n_lists) / 2)`` (~sqrt(n_lists),
+      power of two; clamped to n_lists on tiny quantizers).
+    * ``s_probe = max(2, ceil(5 * n_super / 8))`` — supers kept per
+      query.  MEASURED at the 8k gate (uniform-sphere corpus — the
+      WORST case for coarse routing, since neighbors scatter across
+      Voronoi cells with no cluster structure to exploit): recall vs
+      allowed fraction is nearly hierarchy-shape-invariant
+      ((k2, s) sweeps of (16,4..10), (32,8..12), (64,12..20) all track
+      allowed/n_lists), and 5/8 is the smallest fraction holding the
+      0.8 recall bar (0.8039 vs flat IVF's 0.82).  Per-query centroid
+      dots drop from ``n_lists`` to ``n_super + ~5/8 n_lists`` — a
+      ~1.6x cut on worst-case data with a sqrt-bounded stage-0;
+      CLUSTERED corpora (the realistic case) can pass a smaller
+      ``s_probe`` explicitly and approach the 4x regime the same
+      oracle covers.
+    """
+    n_super = min(n_lists, 1 << ((ceil_log2(n_lists) + 1) // 2))
+    s_probe = min(n_super, max(2, (5 * n_super + 7) // 8))
+    return n_super, s_probe
+
+
+def _kmeans_np(X: np.ndarray, k: int, iterations: int = 5) -> tuple:
+    """Driver-side deterministic Lloyd over an ALREADY-QUANTIZED int64
+    matrix (the super-centroid fit runs over at most ~4*sqrt(N)
+    centroids — driver numpy is the cheap exact path).  Arithmetic is
+    identical to :func:`kmeans_fit` / the unrolled SQL oracle: stride
+    seeding by row order, assignment by ``dot(q, c)/sqrt(dot(c, c))``
+    with first-max (lowest id) tie-break, integer half-away re-quantized
+    means, empty clusters keep their previous centroid.  Integer dots
+    are exact in float64, so engine and oracle agree bit-for-bit.
+
+    Returns (centers: (k, dim) int64, assign: (len(X),) int — final
+    assignment under the FINAL centers, i.e. the oracle's ``rn = 1``
+    over the last iteration's centroid set)."""
+    n = len(X)
+    if n < k:
+        raise ValueError(f"_kmeans_np: need >= k={k} rows, got {n}")
+    stride = max(1, n // k)
+    C = X[(np.arange(n) % stride) == 0][:k].copy()
+
+    def _assign(C: np.ndarray) -> np.ndarray:
+        denom = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
+        denom[denom == 0] = 1.0
+        sims = (X @ C.T).astype(np.float64) / denom
+        return np.argmax(sims, axis=1)  # first max = lowest id
+
+    for _ in range(iterations):
+        a = _assign(C)
+        new = C.copy()
+        for c in np.unique(a):
+            m = a == c
+            means = X[m].sum(axis=0).astype(np.float64) / int(m.sum())
+            new[c] = np.where(
+                means >= 0, np.floor(means + 0.5), np.ceil(means - 0.5)
+            ).astype(np.int64)
+        C = new
+    return C, _assign(C)
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -613,9 +678,23 @@ def cosine_topk_ivf(
     budget: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: bool = False,
+    s_probe: int | None = None,
 ) -> DataFrame:
     """IVF ANN: distributed k-means coarse quantizer -> inverted lists
     keyed by centroid -> TWO-STAGE probe -> exact re-rank.
+
+    ``coarse=True`` adds a hierarchical STAGE 0 (r5): ~sqrt(n_lists)
+    super-centroids fit over the centroid set route each query to its
+    top ``s_probe`` supers, and stage 1 ranks only the centroids
+    assigned to those supers — per-query centroid dots drop from
+    ``n_lists`` to ``n_super + ~5/8 n_lists`` at the default
+    :func:`sized_coarse_params` rule (the recall-preserving cut on the
+    8k gate's uniform-sphere worst case; clustered corpora can pass
+    ``s_probe`` explicitly and approach 4x).  Index assignment stays
+    EXACT (every vector to its true nearest list); only query routing
+    is approximated, and the oracle mirrors the same rule
+    (``oracle_ann_ivf(coarse=True, s_probe=...)``).
 
     Stage 1 ranks each query's ``n_probe`` nearest lists by centroid
     similarity; stage 2 walks them in rank order and keeps a list only
@@ -635,7 +714,7 @@ def cosine_topk_ivf(
     same integer rule from count(*)."""
     cand = ivf_candidate_pairs(
         spark, emb, n_lists=n_lists, n_probe=n_probe, budget=budget,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, coarse=coarse, s_probe=s_probe,
     )
     return _rerank(cand, emb, k, id_col, vec_col)
 
@@ -648,29 +727,55 @@ def ivf_candidate_pairs(
     budget: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: bool = False,
+    s_probe: int | None = None,
 ) -> DataFrame:
     """The IVF probe WITHOUT the re-rank: distinct (qid, nid) candidate
     pairs after the two-stage budget probe — public so the scan-fraction
-    economics are directly measurable (tests/test_ann_scaling.py)."""
+    economics are directly measurable (tests/test_ann_scaling.py).
+    ``coarse`` as in :func:`cosine_topk_ivf`."""
     if n_lists is None or n_probe is None or budget is None:
         sl, sp, sb = sized_ivf_params(emb.count())
         n_lists = sl if n_lists is None else n_lists
         n_probe = sp if n_probe is None else n_probe
         budget = sb if budget is None else budget
     cents = kmeans_fit(emb, k=n_lists, id_col=id_col, vec_col=vec_col)
-    bc = spark.sparkContext.broadcast(cents)
+    if coarse:
+        n_super, default_sp = sized_coarse_params(n_lists)
+        s_probe = default_sp if s_probe is None else min(n_super, s_probe)
+        supers, cassign = _kmeans_np(cents, k=n_super)
+    else:
+        supers, cassign, s_probe = None, None, 0
+    bc = spark.sparkContext.broadcast((cents, supers, cassign))
     raw = emb.select(id_col, vec_col)
 
     schema = f"{id_col} long, list_id int"
     rank_schema = f"{id_col} long, list_id int, rnk int"
 
-    def topn(batches: Iterator[pd.DataFrame], n_top: int, with_rank: bool):
-        C = bc.value
+    def _sims(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
         denom = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
         denom[denom == 0] = 1.0
+        return (Q @ C.T).astype(np.float64) / denom
+
+    def topn(batches: Iterator[pd.DataFrame], n_top: int, with_rank: bool):
+        C, S, CA = bc.value
         for b in batches:
             Q = _qmat(b[vec_col])
-            sims = (Q @ C.T).astype(np.float64) / denom
+            sims = _sims(Q, C)
+            if with_rank and S is not None:
+                # stage 0: rank supers (stable: ties keep super order),
+                # keep top s_probe, and bar centroids outside them from
+                # the stage-1 ranking.  A query can end with fewer than
+                # n_top allowed centroids — those rows are dropped below
+                # (the oracle ranks within the allowed set the same way).
+                stop = np.argsort(-_sims(Q, S), axis=1, kind="stable")[:, :s_probe]
+                ok = np.zeros((len(Q), len(S)), dtype=bool)
+                np.put_along_axis(ok, stop, True, axis=1)
+                allowed = ok[:, CA]  # (n, n_lists)
+                sims = np.where(allowed, sims, -np.inf)
+                n_allowed = np.minimum(allowed.sum(axis=1), n_top)
+            else:
+                n_allowed = None
             # stable sort on -sim: equal sims keep list_id order
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
             out = {
@@ -679,7 +784,10 @@ def ivf_candidate_pairs(
             }
             if with_rank:
                 out["rnk"] = np.tile(np.arange(1, n_top + 1, dtype=np.int32), len(b))
-            yield pd.DataFrame(out)
+            o = pd.DataFrame(out)
+            if n_allowed is not None:
+                o = o[o["rnk"].to_numpy() <= np.repeat(n_allowed, n_top)]
+            yield o
 
     def assign(batches):
         return topn(batches, 1, False)

