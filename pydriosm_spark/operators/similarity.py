@@ -149,10 +149,16 @@ def _kmeans_np(X: np.ndarray, k: int, iterations: int = 5) -> tuple:
     C = X[(np.arange(n) % stride) == 0][:k].copy()
 
     def _assign(C: np.ndarray) -> np.ndarray:
+        # chunk rows: at the extreme sizing (n_lists ~ 4*sqrt(N) rows x
+        # k ~ sqrt(n_lists) centers) a full sims matrix is ~0.5 GB;
+        # 64k-row chunks bound it at ~250 MB whatever the scale
         denom = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
         denom[denom == 0] = 1.0
-        sims = (X @ C.T).astype(np.float64) / denom
-        return np.argmax(sims, axis=1)  # first max = lowest id
+        out = np.empty(len(X), dtype=np.int64)
+        for lo in range(0, len(X), 65536):
+            sims = (X[lo:lo + 65536] @ C.T).astype(np.float64) / denom
+            out[lo:lo + 65536] = np.argmax(sims, axis=1)  # first max = lowest id
+        return out
 
     for _ in range(iterations):
         a = _assign(C)

@@ -133,3 +133,36 @@ def test_spark_submit_media_job(tmp_path):
     assert line, r.stdout[-500:]
     # sf0.001: 500 docs cycle image/audio/video; every payload is valid
     assert "images=167" in line[0] and "quarantined=0" in line[0], line
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="spark-submit not on PATH")
+def test_spark_submit_ann_job(tmp_path):
+    """The ANN retrieval job ships the same way; ivf-coarse exercises the
+    hierarchical stage-0 router end-to-end under spark-submit."""
+    sys.path.insert(0, "/root/repo")
+    import package
+
+    zip_path = package.build(str(tmp_path / "pydriosm_spark.zip"))
+    out = str(tmp_path / "ann_out")
+    r = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            "/root/repo/examples/ann_job.py",
+            "/root/testdata/sf0.001",
+            out,
+            "ivf-coarse",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("ANN_JOB_RESULT")]
+    assert line and "method=ivf-coarse" in line[0], (line, r.stdout[-500:])
+    # every vector is a query; each gets up to k=5 neighbors
+    n_q = int(line[0].split("queries=")[1].split()[0])
+    assert n_q > 0, line
