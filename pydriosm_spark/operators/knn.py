@@ -107,21 +107,34 @@ def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
     rs2 = max(1, (4 * k * area) // max(1, 3 * n))
     s0 = max(1, math.isqrt(rs2) // max(1, disk_radius) + 1)
 
-    # pass 2: place-weighted median occupancy at the trial grid.
-    # percentile(cnt, 0.5, cnt) is EXACT (the per-cell frame has at
-    # most |places| rows); weighting by cnt asks "the cell of the
-    # median place", not "the median occupied cell" (which would
-    # under-read density on sparse grids where most cells hold 1).
-    occ = (
+    # pass 2: place-weighted median occupancy at the trial grid —
+    # "the cell of the median place", not "the median occupied cell"
+    # (which would under-read density on sparse grids where most cells
+    # hold 1).  NOT Spark's percentile() aggregate: that collects every
+    # per-cell count into one group's memory (OOM at 10^8 places).
+    # Instead a second hash-agg folds cells into a (occupancy ->
+    # place-weight) histogram — rows bounded by the number of DISTINCT
+    # occupancy values, which a counting argument caps at
+    # ~sqrt(2 * |places|) — and the driver walks that tiny histogram.
+    hist = (
         places.groupBy(
             F.floor(F.col("pu") / s0).alias("__cx"),
             F.floor(F.col("pv") / s0).alias("__cy"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(F.expr("CAST(percentile(cnt, 0.5d, cnt) AS BIGINT)").alias("m"))
-        .collect()[0]
+        .groupBy("cnt")
+        .agg(F.sum("cnt").alias("w"))
+        .orderBy("cnt")
+        .collect()
     )
-    m = max(1, int(occ["m"] or 1))
+    total = sum(r["w"] for r in hist)
+    half, acc, m = (total + 1) // 2, 0, 1
+    for r in hist:
+        acc += r["w"]
+        if acc >= half:
+            m = int(r["cnt"])
+            break
+    m = max(1, m)
     # local density ~ m / s0^2; solve 3*(R*S)^2 * m / s0^2 >= 4k
     rs2 = max(1, (4 * k * s0 * s0) // (3 * m))
     return max(1, math.isqrt(rs2) // max(1, disk_radius) + 1)

@@ -748,6 +748,8 @@ def ivf_candidate_pairs(
     cents = kmeans_fit(emb, k=n_lists, id_col=id_col, vec_col=vec_col)
     if coarse:
         n_super, default_sp = sized_coarse_params(n_lists)
+        if s_probe is not None and s_probe < 1:
+            raise ValueError(f"s_probe must be >= 1, got {s_probe}")
         s_probe = default_sp if s_probe is None else min(n_super, s_probe)
         supers, cassign = _kmeans_np(cents, k=n_super)
     else:
