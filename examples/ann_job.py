@@ -36,7 +36,10 @@ def main(sf_dir: str, out_dir: str, method: str = "lsh") -> None:
     if method == "brute":
         topk = similarity.cosine_topk_bruteforce(spark, emb, k=k)
     elif method == "lsh":
-        topk = similarity.cosine_topk_lsh(spark, emb, dim=64, k=k)
+        # derive dim from the data — the same job text must run on any
+        # embedding width
+        dim = len(emb.select("embedding").head()[0])
+        topk = similarity.cosine_topk_lsh(spark, emb, dim=dim, k=k)
     elif method == "ivf":
         topk = similarity.cosine_topk_ivf(spark, emb, k=k)
     elif method == "ivf-coarse":

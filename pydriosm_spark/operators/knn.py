@@ -84,10 +84,10 @@ def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
     Pass 1 (count + bbox) gives the uniform-density estimate S0.  Pass
     2 corrects for CLUSTERING (r5 caveat: bbox-average density under-
     reads hotspots, oversizing cells and exploding hotspot candidate
-    lists): it measures the PLACE-WEIGHTED median cell occupancy at the
-    trial grid S0 — "how dense is the neighbourhood a typical place
-    sits in" — and re-solves the ball equation against that local
-    density.  On uniform data the weighted median equals the mean and
+    lists): it measures the PLACE-WEIGHTED median cell occupancy at a
+    trial grid of 2x the ball radius — "how dense is the neighbourhood
+    a typical place sits in" — and re-solves the ball equation against
+    that local density.  On uniform data the weighted median equals the mean and
     the correction is a fixed point (S == S0); on clustered data it
     reads the hotspot density and shrinks S accordingly.  Points in
     genuinely empty regions still take the exact fallback — no single
@@ -116,10 +116,19 @@ def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
     # place-weight) histogram — rows bounded by the number of DISTINCT
     # occupancy values, which a counting argument caps at
     # ~sqrt(2 * |places|) — and the driver walks that tiny histogram.
+    # Trial cell = 2 * ball radius, NOT s0 itself: at s0 the expected
+    # occupancy is 4k/(3 R^2), which for disk_radius >= 2 (or k = 1)
+    # drops below ~1 — every occupied cell then reads 1, the median
+    # over-reads density by the discreteness floor, and the ball
+    # shrinks until uniform data falls back to brute force.  At
+    # t = 2*R*s0 the uniform expectation is 16k/3 >= 5 for any (k, R),
+    # safely above the floor, and the fixed-point algebra is unchanged
+    # (m = d*t^2  ->  rs2 = 4k*t^2/(3m) = 4k/(3d) = (R*s0)^2).
+    t = 2 * max(1, disk_radius) * s0
     hist = (
         places.groupBy(
-            F.floor(F.col("pu") / s0).alias("__cx"),
-            F.floor(F.col("pv") / s0).alias("__cy"),
+            F.floor(F.col("pu") / t).alias("__cx"),
+            F.floor(F.col("pv") / t).alias("__cy"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("cnt")
@@ -135,8 +144,8 @@ def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
             m = int(r["cnt"])
             break
     m = max(1, m)
-    # local density ~ m / s0^2; solve 3*(R*S)^2 * m / s0^2 >= 4k
-    rs2 = max(1, (4 * k * s0 * s0) // (3 * m))
+    # local density ~ m / t^2; solve 3*(R*S)^2 * m / t^2 >= 4k
+    rs2 = max(1, (4 * k * t * t) // (3 * m))
     return max(1, math.isqrt(rs2) // max(1, disk_radius) + 1)
 
 

@@ -746,10 +746,12 @@ def ivf_candidate_pairs(
         n_probe = sp if n_probe is None else n_probe
         budget = sb if budget is None else budget
     cents = kmeans_fit(emb, k=n_lists, id_col=id_col, vec_col=vec_col)
+    if s_probe is not None and not coarse:
+        raise ValueError("s_probe only applies to the coarse=True probe")
+    if s_probe is not None and s_probe < 1:
+        raise ValueError(f"s_probe must be >= 1, got {s_probe}")
     if coarse:
         n_super, default_sp = sized_coarse_params(n_lists)
-        if s_probe is not None and s_probe < 1:
-            raise ValueError(f"s_probe must be >= 1, got {s_probe}")
         s_probe = default_sp if s_probe is None else min(n_super, s_probe)
         supers, cassign = _kmeans_np(cents, k=n_super)
     else:
@@ -769,20 +771,36 @@ def ivf_candidate_pairs(
         C, S, CA = bc.value
         for b in batches:
             Q = _qmat(b[vec_col])
-            sims = _sims(Q, C)
             if with_rank and S is not None:
                 # stage 0: rank supers (stable: ties keep super order),
-                # keep top s_probe, and bar centroids outside them from
-                # the stage-1 ranking.  A query can end with fewer than
-                # n_top allowed centroids — those rows are dropped below
-                # (the oracle ranks within the allowed set the same way).
+                # keep top s_probe, and compute stage-1 dots ONLY for
+                # centroids inside them — one gathered BLAS matmul per
+                # super, so the per-query dot count actually IS
+                # n_super + |allowed| (a full-matmul-then-mask here
+                # would silently pay MORE than the flat path).  Each
+                # dot is an independent integer product — subsetting
+                # cannot change its float64-exact value, so the oracle
+                # contract is untouched.  A query can end with fewer
+                # than n_top allowed centroids — those rows are dropped
+                # below (the oracle ranks within the allowed set the
+                # same way).
                 stop = np.argsort(-_sims(Q, S), axis=1, kind="stable")[:, :s_probe]
                 ok = np.zeros((len(Q), len(S)), dtype=bool)
                 np.put_along_axis(ok, stop, True, axis=1)
+                cden = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
+                cden[cden == 0] = 1.0
+                sims = np.full((len(Q), len(C)), -np.inf)
+                for g in range(len(S)):
+                    rows = np.nonzero(ok[:, g])[0]
+                    cols = np.nonzero(CA == g)[0]
+                    if len(rows) and len(cols):
+                        sims[np.ix_(rows, cols)] = (
+                            Q[rows] @ C[cols].T
+                        ).astype(np.float64) / cden[cols]
                 allowed = ok[:, CA]  # (n, n_lists)
-                sims = np.where(allowed, sims, -np.inf)
                 n_allowed = np.minimum(allowed.sum(axis=1), n_top)
             else:
+                sims = _sims(Q, C)
                 n_allowed = None
             # stable sort on -sim: equal sims keep list_id order
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]

@@ -649,7 +649,7 @@ def oracle_ann_ivf(iterations: int = 5, coarse: bool = False, s_probe: int | Non
         # super-level source: the FINAL centroids as (vec_id, qv) rows
         parts.append(f"ce AS MATERIALIZED (SELECT list_id AS vec_id, cent AS qv FROM c{it})")
         # sized_coarse_params in SQL: k2 = min(nl, 2^ceil(ceil_log2(nl)/2)),
-        # sp = min(k2, max(2, k2 // 4))
+        # sp (in qsup below) = min(k2, max(2, ceil(5*k2/8)))
         parts.append(
             """pp2 AS (
   SELECT nl,

@@ -372,10 +372,15 @@ def test_coarse_super_fit_matches_flat_kmeans_arithmetic():
 
     X = np.array([[10, 0], [9, 1], [0, 10], [1, 9], [-10, 0], [-9, -1]], dtype=np.int64)
     C, assign = similarity._kmeans_np(X, k=3, iterations=3)
-    # three clear direction clusters; every row assigned to its own group
-    assert sorted(set(assign.tolist())) == [0, 1, 2]
-    for cid, rows in [(0, [0, 1]), (1, [2, 3]), (2, [4, 5])]:
-        m = X[np.array([assign[r] == cid for r in range(len(X))])]
+    # three clear direction clusters; membership is pinned exactly —
+    # rows [0,1], [2,3], [4,5] must land together, in distinct clusters
+    assert assign[0] == assign[1]
+    assert assign[2] == assign[3]
+    assert assign[4] == assign[5]
+    assert len({assign[0], assign[2], assign[4]}) == 3
     # integer means with half-away rounding: cluster of [10,0],[9,1]
-    # -> mean (9.5, 0.5) -> (10, 1)
+    # -> mean (9.5, 0.5) -> (10, 1); and [-10,0],[-9,-1] -> (-9.5,-0.5)
+    # -> half-AWAY-from-zero (-10, -1), not banker's (-9, 0)
     assert C[assign[0]].tolist() == [10, 1]
+    assert C[assign[4]].tolist() == [-10, -1]
+    assert C[assign[2]].tolist() == [1, 10]

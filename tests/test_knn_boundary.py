@@ -178,3 +178,24 @@ def test_auto_cell_size_clustering_correction(spark):
         knn.knn_bruteforce(pts, clustered, k=3, point_keys=["doc_id", "mention_idx"])
     )
     assert got == want
+
+
+def test_auto_cell_size_ball_invariant_across_disk_radius(spark):
+    """Fix for the pass-2 discreteness floor: on uniform data the
+    certification BALL (radius R*S) must come out roughly the same size
+    whatever disk_radius is — before the 2R-scaled trial grid, R>=2 with
+    small k read occupancy 1 everywhere and shrank the ball ~12x,
+    collapsing auto-sized knn_cell to the brute-force fallback."""
+    import random
+
+    rng = random.Random(11)
+    places = spark.createDataFrame(
+        [(i, rng.randrange(0, 100_000), rng.randrange(0, 100_000)) for i in range(2000)],
+        "place_id long, pu long, pv long",
+    )
+    balls = {
+        r: r * knn.auto_cell_size(places, k=1, disk_radius=r) for r in (1, 2, 4)
+    }
+    for r in (2, 4):
+        ratio = balls[r] / balls[1]
+        assert 0.5 <= ratio <= 2.0, balls
