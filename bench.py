@@ -215,7 +215,16 @@ def run_suite(spark, sf_dir: str):
                     .trigger(availableNow=True)
                     .start()
                 )
-                q.awaitTermination(600)
+                try:
+                    if not q.awaitTermination(600):
+                        raise TimeoutError(
+                            "stream_pbf_ingest drain exceeded 600s"
+                        )
+                finally:
+                    # stop unconditionally BEFORE the rmtree below —
+                    # deleting the checkpoint under a live query poisons
+                    # the shared session's later timed entries
+                    q.stop()
                 return spark.read.parquet(os.path.join(d, "out")).count()
             finally:
                 shutil.rmtree(d, ignore_errors=True)

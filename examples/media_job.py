@@ -28,8 +28,12 @@ def main(sf_dir: str, out_dir: str) -> None:
     table = media.media_table(spark, sf_dir)
 
     # 1. container validation -> quarantine split (corrupt blobs must
-    #    route, never crash a 10^12-object ingest)
-    verdict = media.media_validate(table)
+    #    route, never crash a 10^12-object ingest).  cache(): the
+    #    verdict feeds FOUR write actions below (three semi-joins + the
+    #    quarantine table) — without it the validation kernel re-scans
+    #    every payload byte once per write (same pattern as
+    #    examples/ingest_job.py).
+    verdict = media.media_validate(table).cache()
     ok_ids = verdict.filter("valid").select("media_id")
     quarantined = verdict.filter("NOT valid")
     clean = table.join(ok_ids, "media_id", "left_semi")

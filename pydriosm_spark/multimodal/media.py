@@ -249,6 +249,14 @@ def video_frame_sample(
     )
 
 
+#: real-container signatures the auto codec seam (codecs.py) decodes;
+#: media_validate accepts them so validate->quarantine->decode is one
+#: consistent contract — a real PNG/WAV must not be quarantined by the
+#: very job whose decode step would have handled it
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
 def media_validate(media: DataFrame) -> DataFrame:
     """Container validation / quarantine: (media_id, kind, valid, reason)
     from the payload BYTES (magic + header-vs-actual length), one
@@ -256,7 +264,15 @@ def media_validate(media: DataFrame) -> DataFrame:
     blob — invalid rows route to quarantine, valid ones continue.
     Reasons: 'too_short' (no room for magic+header), 'bad_magic',
     'truncated' (payload shorter than the header promises), NULL (valid;
-    trailing bytes are tolerated, matching lenient container readers)."""
+    trailing bytes are tolerated, matching lenient container readers).
+
+    Accepts every container the AUTO codec seam decodes: the fake
+    FIMG/FAUD/FVID containers (full header-vs-length check), real PNG
+    (signature + room for IHDR) and RIFF/WAVE (signature + header room)
+    always, and JPEG exactly when PIL is importable on the executor —
+    mirroring ``codecs.decode_image_auto``'s dispatch, so a payload
+    this pass declares valid is one the decode stage can actually open
+    (deep validation stays decode-time)."""
     schema = "media_id long, kind string, valid boolean, reason string"
     header = {"image": 12, "audio": 12, "video": 16}
     magic = {"image": IMG_MAGIC, "audio": AUD_MAGIC, "video": VID_MAGIC}
@@ -269,11 +285,31 @@ def media_validate(media: DataFrame) -> DataFrame:
             return int(a[1]) * 2
         return int(a[0]) * int(a[1]) * int(a[2])
 
+    def real_container(kind: str, buf: bytes, has_pil: bool):
+        """(valid, reason) for real-codec containers, None if not one."""
+        if kind == "image" and buf[:8] == _PNG_SIG:
+            # signature + IHDR chunk (len+type+13 data+crc) = 33 bytes
+            return (True, None) if len(buf) >= 33 else (False, "truncated")
+        if kind == "image" and buf[:3] == _JPEG_SIG and has_pil:
+            return (True, None)
+        if kind == "audio" and buf[:4] == b"RIFF":
+            if buf[8:12] != b"WAVE":
+                return (False, "bad_magic")
+            return (True, None) if len(buf) >= 44 else (False, "truncated")
+        return None
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pydriosm_spark.multimodal import codecs as _codecs
+
+        has_pil = _codecs._PILImage is not None
         for b in batches:
             out = []
             for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
                 buf = bytes(payload)
+                real = real_container(kind, buf, has_pil)
+                if real is not None:
+                    out.append((int(mid), kind, *real))
+                    continue
                 hl = header[kind]
                 if len(buf) < hl:
                     out.append((int(mid), kind, False, "too_short"))

@@ -821,7 +821,11 @@ def ivf_candidate_pairs(
     def probe(batches):
         return topn(batches, n_probe, True)
 
-    index = raw.mapInPandas(assign, schema)  # inverted lists
+    # inverted lists: consumed TWICE (the lsize aggregate and the
+    # candidate join) — materialize once or the full top-1 assignment
+    # kernel (a corpus-wide matmul) runs twice per query.  The
+    # checkpoint is |N| x 2 longs, memory-and-disk.
+    index = raw.mapInPandas(assign, schema).localCheckpoint(eager=True)
     probes = raw.mapInPandas(probe, rank_schema).withColumnRenamed(id_col, "qid")
 
     # budget trim: cumulative size of the lists ranked BEFORE this one

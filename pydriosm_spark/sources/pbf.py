@@ -733,13 +733,19 @@ def _local_path(uri: str) -> str:
 def _pbf_listing(spark: SparkSession, path: str) -> DataFrame:
     """(path, length) listing of the PBFs under ``path``.  The
     ``*.pbf`` glob filter applies only to directory/glob inputs (ADVICE
-    r4): a single existing file is taken as-is whatever its name, and an
-    empty listing raises instead of silently yielding an empty frame."""
+    r4): a single existing file is taken as-is whatever its name.  An
+    empty listing raises for glob inputs (a glob matching nothing is
+    almost always a typo'd pattern — the silent-empty-frame failure the
+    r4 ADVICE flagged) but NOT for an existing directory: a landing
+    directory polled between file drops legitimately holds zero PBFs
+    yet, and an ingest loop must see files=0, not crash."""
     reader = spark.read.format("binaryFile")
     if not (os.path.isfile(path) or os.path.isfile(_local_path(path))):
         reader = reader.option("pathGlobFilter", "*.pbf")
     files = reader.load(path).select("path", "length")  # content never reads
-    if not files.head(1):
+    if not files.head(1) and not (
+        os.path.isdir(path) or os.path.isdir(_local_path(path))
+    ):
         raise FileNotFoundError(f"no PBF files found under {path!r}")
     return files
 

@@ -172,3 +172,64 @@ def test_codec_seam_runs_pipeline_with_injected_decoder(spark):
     for x in v:
         fm = int(frames[x["frame_idx"]].astype(np.int64).sum() * 10000 // (5 * 3))
         assert x["frame_mean_e4"] == fm and (x["width"], x["height"]) == (5, 3)
+
+
+def test_media_validate_accepts_real_containers(spark):
+    """The validate->quarantine->decode contract must be consistent: a
+    real PNG / WAV payload (which decode_*_auto handles) must NOT be
+    quarantined by media_validate — previously only the fake
+    FIMG/FAUD/FVID magics validated, so the media example job
+    quarantined 100% of real media."""
+    import numpy as np
+
+    from pydriosm_spark.multimodal import codecs
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    png = codecs.encode_png(px)
+    wav = codecs.encode_wav(8000, np.arange(64, dtype=np.int16))
+    rows = [
+        (1, "image", bytearray(png)),          # real PNG -> valid
+        (2, "audio", bytearray(wav)),          # real WAV -> valid
+        (3, "image", bytearray(png[:20])),     # truncated PNG
+        (4, "audio", bytearray(b"RIFF\0\0\0\0JUNK")),  # RIFF, not WAVE
+        (5, "image", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),  # JPEG: PIL-gated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        r["media_id"]: (r["valid"], r["reason"])
+        for r in M.media_validate(df).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (True, None)
+    assert got[3] == (False, "truncated")
+    assert got[4] == (False, "bad_magic")
+    has_pil = codecs._PILImage is not None
+    assert got[5] == ((True, None) if has_pil else (False, "bad_magic"))
+
+
+def test_media_job_real_payloads_reach_features(spark, tmp_path):
+    """Ship-path consistency: run the media job's validate->clean->
+    features chain over a table that MIXES fake containers with real
+    PNG/WAV — the real rows must survive the quarantine split and
+    produce feature rows through the auto codec seam."""
+    import numpy as np
+
+    from pydriosm_spark.multimodal import codecs
+
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rows = [
+        (0, "image", bytearray(M.make_image(0, 8, 6)), 8, 6, 0, 0),
+        (1, "image", bytearray(codecs.encode_png(px)), 8, 6, 0, 0),
+        (2, "audio", bytearray(M.make_audio(2, 8000, 64)), 0, 0, 8000, 64),
+        (3, "audio", bytearray(codecs.encode_wav(8000, np.arange(64, dtype=np.int16))), 0, 0, 8000, 64),
+    ]
+    table = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta_w int, meta_h int, meta_sr int, meta_n int",
+    )
+    verdict = M.media_validate(table)
+    clean = table.join(verdict.filter("valid").select("media_id"), "media_id", "left_semi")
+    img = M.image_features(clean, decode=codecs.decode_image_auto).collect()
+    aud = M.audio_features(clean, decode=codecs.decode_audio_auto).collect()
+    assert {r["media_id"] for r in img} == {0, 1}
+    assert {r["media_id"] for r in aud} == {2, 3}

@@ -304,3 +304,19 @@ def test_datasource_relation_layer_size_guard(registered):
         .count()
     )
     assert n > 5000
+
+
+def test_pbf_listing_empty_landing_dir_is_not_an_error(spark, tmp_path):
+    """A landing directory polled BETWEEN file drops holds zero PBFs —
+    an ingest loop must see files=0, not crash (the r4 raise-on-empty
+    was meant for glob typos, where it still fires)."""
+    import pytest
+
+    from pydriosm_spark.sources import pbf
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    assert pbf.pbf_validate(spark, str(d)).count() == 0
+    # a glob matching nothing still raises (typo'd pattern)
+    with pytest.raises(Exception, match="[Nn]o PBF files|does not exist|PATH_NOT_FOUND"):
+        pbf._pbf_listing(spark, str(tmp_path / "nope" / "*.pbf")).count()
