@@ -145,18 +145,38 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, inter, union, jaccard_e6) with id_a < id_b and
     jaccard_e6 >= threshold.
     """
-    sig = minhash_signatures(df, key, text)
-    # cap pathological buckets (viral near-identical content at web scale)
-    sig = sig.withColumn(
-        "bn", F.count(F.lit(1)).over(Window.partitionBy("band", "minhash"))
-    ).filter(F.col("bn") <= max_bucket)
+    # NULL minhash (null/empty-text docs) can never match in an equi-join;
+    # dropping it here preserves the old self-join-on-minhash semantics
+    # while the bucket groupBy below would otherwise co-group NULL keys.
+    sig = minhash_signatures(df, key, text).filter(F.col("minhash").isNotNull())
 
-    a = sig.select(F.col(key).alias("id_a"), "band", "minhash")
-    b = sig.select(F.col(key).alias("id_b"), "band", "minhash")
+    # r6 (guide §2.4): each (band, minhash) bucket gathered in ONE hash
+    # aggregate; the viral-bucket cap is a free size() filter on the
+    # bucket array (was: a window count — an extra full sort of the
+    # signature table — followed by a bucket self-join).  Shuffle
+    # volume is identical (|docs| x BANDS ids move once), but the sort
+    # and both join exchanges are gone.
+    buckets = (
+        sig.groupBy("band", "minhash")
+        .agg(F.sort_array(F.collect_list(key)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    # pairwise expansion as two codegen Generates (posexplode + explode
+    # of the sorted tail slice) — no interpreted lambda, and ids sorted
+    # means id_a < id_b by construction.  Explode factor per bucket is
+    # C(n, 2), n <= max_bucket — exactly the old self-join's output.
     pairs = (
-        a.join(b, ["band", "minhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select("ids", F.posexplode("ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("ids"),
+                    F.col("__i") + F.lit(2),
+                    F.size("ids") - F.col("__i") - F.lit(1),
+                )
+            ).alias("id_b"),
+        )
         .distinct()
         # small; consumed twice (candidate-id filter + verify join) —
         # materialize so the LSH chain runs once
@@ -164,65 +184,67 @@ def minhash_lsh_pairs(
     )
 
     # verify only touches docs that appear in a candidate pair: semi-join
-    # the shingle explode down to that (small) id set before intersecting
+    # the DOCUMENTS down to that (small) id set BEFORE exploding (r5):
+    # Catalyst does not push joins below a Generate, so filtering after
+    # shingles_exploded would re-explode the ENTIRE corpus.  Narrowing df
+    # first means the verify explode touches candidate docs only —
+    # corpus-sized savings whenever candidates << corpus.
     cand_ids = (
         pairs.select(F.explode(F.array("id_a", "id_b")).alias(key)).distinct()
     )
-    # distinct AFTER the candidate narrowing: Jaccard is over each doc's
-    # distinct shingle set, and only candidate docs pay the distinct.
     # No broadcast hint: cand_ids is DATA-DEPENDENT (every doc in a
     # near-dup pair) — tiny on clean corpora, potentially billions on
     # dup-heavy ones — so AQE picks broadcast vs shuffle from the
     # runtime size instead of a wired-in assumption.
-    # (r5 note: a collect_set + array_intersect verify was measured 1.5x
-    # SLOWER than this join form at sf0.1 — string-array building beats
-    # the saved stages; the shuffle form also has no big-row hazard.)
     # The verify runs over the 60-bit md5 shingle FINGERPRINT (the same
     # engine-identical hash the signatures use), not the raw string:
-    # 8-byte long distinct/joins instead of ~30-byte string shuffles.
-    # Jaccard is therefore over each doc's distinct fingerprint set —
-    # identical to the string-set Jaccard unless two distinct shingles
-    # collide in 60 bits (~n^2/2^61; never at any tested scale), and the
-    # oracle mirrors the same fingerprint so both engines agree by
-    # construction either way.
-    # Semi-join the DOCUMENTS before exploding (r5): Catalyst does not
-    # push joins below a Generate, so filtering after shingles_exploded
-    # re-explodes the ENTIRE corpus and only then drops non-candidates.
-    # Narrowing df first means the verify explode touches candidate
-    # docs only — corpus-sized savings whenever candidates << corpus.
-    sh = (
+    # 8-byte longs instead of ~30-byte string shuffles.  Jaccard is
+    # therefore over each doc's distinct fingerprint set — identical to
+    # the string-set Jaccard unless two distinct shingles collide in 60
+    # bits (~n^2/2^61; never at any tested scale), and the oracle
+    # mirrors the same fingerprint so both engines agree by construction
+    # either way.
+    # r6 (guide §2.3/§2.4): each candidate doc's distinct fingerprint
+    # SET is gathered in one hash aggregate (collect_set dedups in the
+    # partial agg, map-side), so the verify is a single pairs ⋈ fps ⋈
+    # fps join + array_intersect — replacing the r5 shape's separate
+    # distinct, sizes aggregate, and three-join intersect count (two
+    # fewer shuffles and one fewer materialization pass).  Set sizes are
+    # bounded by the doc's shingle count; only candidate docs pay.
+    # localCheckpoint spills memory-and-disk, so a dup-heavy corpus
+    # degrades to disk rather than recompute or OOM.
+    cand_fps = (
         shingles_exploded(df.join(cand_ids, key, "left_semi"), key, text)
         .select(
             key,
-            F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("s"),
+            F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("f"),
         )
-        .distinct()
-        # consumed THREE times (sizes + both sides of the intersect
-        # join): materialize once instead of re-running the corpus
-        # explode + semi-join per consumer (~12% off the sf0.1 query;
-        # the bigger the corpus-to-candidates ratio, the bigger the
-        # win).  localCheckpoint spills memory-and-disk, so a dup-heavy
-        # corpus degrades to disk rather than recompute or OOM.
-        .localCheckpoint(eager=True)
+        .groupBy(key)
+        .agg(F.collect_set("f").alias("fps"))
+        # eager=False (r6): the first consumer materializes it and the
+        # persisted partitions serve the other side of the verify join —
+        # same single-execution guarantee without an extra driver-blocking
+        # job round-trip (measured ~0.3s at sf0.1).  Worst case under
+        # concurrent AQE broadcast builds is one duplicate pass over the
+        # CANDIDATE-bounded chain, never the corpus chain.
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
-
-    sa = sh.select(F.col(key).alias("id_a"), "s")
-    sb = sh.select(F.col(key).alias("id_b"), "s")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col(key).alias("id_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col(key).alias("id_b"), F.col("n_sh").alias("nb"))
+    fa = cand_fps.select(F.col(key).alias("id_a"), F.col("fps").alias("fa"))
+    fb = cand_fps.select(F.col(key).alias("id_b"), F.col("fps").alias("fb"))
     out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "inter", F.expr("CAST(size(array_intersect(fa, fb)) AS BIGINT)")
+        )
+        .withColumn(
+            "union", F.expr("CAST(size(fa) + size(fb) AS BIGINT) - inter")
+        )
         .withColumn("jaccard_e6", F.expr("CAST(inter * 1000000 DIV `union` AS BIGINT)"))
-        .filter(F.col("jaccard_e6") >= jaccard_e6_min)
+        # inter > 0 preserves the r5 inner-join-on-fingerprint semantics:
+        # a candidate pair with an empty intersection never appears, even
+        # at jaccard_e6_min = 0
+        .filter((F.col("jaccard_e6") >= jaccard_e6_min) & (F.col("inter") > 0))
         .select("id_a", "id_b", "inter", "union", "jaccard_e6")
     )
     return out
