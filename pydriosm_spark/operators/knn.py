@@ -149,6 +149,34 @@ def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
     return max(1, math.isqrt(rs2) // max(1, disk_radius) + 1)
 
 
+def _disk_probe_topk(
+    cand: DataFrame, point_keys: list[str], k: int, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """In-ball candidates (+ one NULL-place sentinel per point) -> per-point
+    truncated top-k with the in-ball count: (point_keys, u, v, rank,
+    place_id, d2, __n_ball) where rank <= k and __n_ball = min(#candidates
+    with d2 < bound, k).  The rank<=k filter is a PURE rank predicate so
+    InferWindowGroupLimit rewrites it into a (partial + final)
+    WindowGroupLimit — the per-group truncation happens map-side before
+    the exchange; the count window then rides the same exchange + sort
+    over the truncated rows (plan-locked in tests/test_plans.py).
+    Sentinel rows (NULL place_id / d2) sort last and are excluded from
+    the count, so __n_ball is exactly the in-ball candidate count capped
+    at k.  ``cand`` must already be restricted to d2 < bound (plus the
+    sentinels) — the filter lives in the caller so the sentinel union
+    sits between them."""
+    w = Window.partitionBy(*point_keys).orderBy(
+        F.col("d2").asc_nulls_last(), F.col("place_id").asc_nulls_last()
+    )
+    wall = Window.partitionBy(*point_keys)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("__n_ball", F.count("place_id").over(wall))
+        .select(*point_keys, u, v, "rank", "place_id", "d2", "__n_ball")
+    )
+
+
 def knn_cell(
     spark: SparkSession,
     points: DataFrame,
@@ -201,12 +229,21 @@ def knn_cell(
         F.floor(F.col(v) / S).alias("__cy"),
     )
 
+    # The (2R+1)^2 probe offsets PLUS one NULL "marker" offset per point:
+    # a NULL join key can never match, so under the LEFT join each point
+    # emits exactly one unmatched marker row — its sentinel — in the SAME
+    # pass as the probe (r6; a separate sentinel branch re-scanned the
+    # point side).  Unmatched real-offset rows (probe cells with no
+    # places) are pruned by the filter below before anything is sorted.
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
             for dx in range(-R, R + 1)
             for dy in range(-R, R + 1)
-        ]
+        ],
+        F.struct(
+            F.lit(None).cast("int").alias("dx"), F.lit(None).cast("int").alias("dy")
+        ),
     )
     probe = pts.withColumn("__o", F.explode(offsets))
     placed_side = F.broadcast(placed) if broadcast_places else placed
@@ -215,37 +252,58 @@ def knn_cell(
             placed_side,
             (F.col("__cx") + F.col("__o.dx") == F.col("pcx"))
             & (F.col("__cy") + F.col("__o.dy") == F.col("pcy")),
-            "inner",
-        ).select(*point_keys, F.col("__u").alias(u), F.col("__v").alias(v), "place_id", "pu", "pv"),
+            "left",
+        ).select(
+            *point_keys,
+            F.col("__u").alias(u),
+            F.col("__v").alias(v),
+            F.col("__o.dx").alias("__dx"),
+            "place_id",
+            "pu",
+            "pv",
+        ),
         u,
         v,
     )
 
-    # Certification in the SAME window pass as the top-k (r5: the old
-    # groupBy-count + semi-join added a shuffle and a join over the full
-    # candidate set): a point is certified iff it has >= k candidates
+    # Certification rides the top-k window (r5), and since r6 the rank
+    # filter is a PURE rank<=k predicate so Catalyst's InferWindowGroupLimit
+    # rewrite fires: a partial per-group top-k runs map-side BEFORE the
+    # exchange (candidates of one point are partition-local — the explode
+    # kept them together), so the shuffle and sort carry <= k rows per
+    # point instead of the full in-ball candidate set (guide §2.3: shuffle
+    # fewer bytes).  A point is certified iff it has >= k candidates
     # STRICTLY inside the ball of radius R*S (anything unseen is outside
-    # the R-disk, hence at distance > R*S) — then its true top-k is a
-    # subset of those in-ball candidates.  Strict < at the boundary: a
-    # candidate at exactly R*S cannot be proven to beat an unseen
-    # place's (d2, place_id) tie-break, so such points take the exact
-    # brute-force fallback instead.  The ordered row_number and the
-    # unordered partition count share one hash exchange + sort.
+    # the R-disk, hence at distance > R*S) — equivalently, iff its
+    # truncated top-k holds exactly k in-ball rows.  Strict < at the
+    # boundary: a candidate at exactly R*S cannot be proven to beat an
+    # unseen place's (d2, place_id) tie-break, so such points take the
+    # exact brute-force fallback instead.  The count window reuses the
+    # rank window's exchange and sort (same partition keys).
+    #
+    # The sentinel union (r6) keeps EVERY point visible to the window —
+    # one NULL-place row per point, sorting after any real candidate —
+    # so the uncertified points fall out of the same materialized top-k
+    # WITH their coordinates.  The r5 shape instead re-scanned the whole
+    # point side and anti-joined it against the certified keys (a second
+    # pass over the fact table + an exchange of every point, guide §2.4),
+    # and executed the probe+window subtree once per union branch.
     bound = (R * S) * (R * S)
-    bc = cand.filter(F.col("d2") < bound)
-    w = Window.partitionBy(*point_keys).orderBy(F.col("d2").asc(), F.col("place_id").asc())
-    wall = Window.partitionBy(*point_keys)
-    ranked = bc.withColumn("rank", F.row_number().over(w)).withColumn(
-        "__n_ball", F.count(F.lit(1)).over(wall)
-    )
-    fast = ranked.filter((F.col("__n_ball") >= k) & (F.col("rank") <= k)).select(
-        *point_keys, "rank", "place_id", "d2"
-    )
+    inball = cand.filter(
+        (F.col("__dx").isNotNull() & (F.col("d2") < bound)) | F.col("__dx").isNull()
+    ).select(*point_keys, u, v, "place_id", "d2")
+    nn = _disk_probe_topk(inball, point_keys, k, u=u, v=v)
+    # materialize ONCE: the fast branch and the fallback both consume
+    # this (<= k rows per point, i.e. output-sized); without it the whole
+    # explode+join+window subtree executes twice — once per union branch
+    # (measured: the two subtrees were the bulk of the r5 wall time at
+    # sf0.1).
+    nn = nn.localCheckpoint(eager=True)
+    fast = nn.filter(F.col("__n_ball") >= k).select(*point_keys, "rank", "place_id", "d2")
 
-    certified = ranked.filter((F.col("rank") == 1) & (F.col("__n_ball") >= k)).select(
-        *point_keys
+    slow_pts = nn.filter((F.col("rank") == 1) & (F.col("__n_ball") < k)).select(
+        *point_keys, u, v
     )
-    slow_pts = points.join(certified, point_keys, "left_anti")
     slow = knn_bruteforce(
         slow_pts, places, k=k, point_keys=point_keys, u=u, v=v,
         broadcast=broadcast_places,

@@ -197,13 +197,38 @@ def test_extraction_plan_is_one_pass(spark):
 
 
 def test_knn_cell_certification_rides_topk_window(spark):
-    """r5: the in-ball certification count shares the top-k window's
-    exchange — no groupBy aggregate + LeftSemi join over the candidate
-    set; only the fallback's LeftAnti remains."""
+    """r6: the sentinel union makes the uncertified points fall out of
+    the materialized top-k itself — no LeftSemi, and the r5 LeftAnti
+    re-scan of the whole point side is gone too.  The fallback's brute
+    window keeps its WindowGroupLimit."""
     from pydriosm_spark.operators import knn
 
     m = extract.extract_mentions(synth.webpages(spark, SF_SMOKE))
     p = _plan(knn.knn_cell(spark, m, synth.places_df(spark), k=3))
     assert "LeftSemi" not in p, p[:3000]
-    assert "LeftAnti" in p, p[:3000]
+    assert "LeftAnti" not in p, p[:3000]
     assert "WindowGroupLimit" in p, p[:3000]
+
+
+def test_knn_probe_topk_is_one_exchange_with_group_limit(spark):
+    """r6: the disk-probe top-k chain (pre-checkpoint) must run as ONE
+    exchange carrying rank-truncated rows — a partial WindowGroupLimit
+    below the Exchange (map-side per-group top-k, guide §2.3) and the
+    certification count window riding the same exchange + sort (no
+    second Exchange for the count)."""
+    from pydriosm_spark.operators import knn
+    from pyspark.sql import functions as F
+
+    cand = spark.range(1000).select(
+        (F.col("id") % 100).alias("doc_id"),
+        F.lit(0).alias("mention_idx"),
+        F.col("id").alias("u"),
+        F.col("id").alias("v"),
+        F.col("id").cast("int").alias("place_id"),
+        (F.col("id") * 7 % 97).alias("d2"),
+    )
+    df = knn._disk_probe_topk(cand, ["doc_id", "mention_idx"], 3)
+    p = _plan(df)
+    assert p.count("WindowGroupLimit") >= 2, p[:3000]  # partial + final
+    n_exch = p.count("Exchange") - p.count("BroadcastExchange")
+    assert n_exch == 1, p[:3000]
