@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 import struct
 import zlib
+from itertools import accumulate
 from typing import Iterator
 
 import numpy as np
@@ -96,12 +97,63 @@ def _fields(buf: bytes):
         yield fno, wt, v
 
 
+def _packed_varints_np(buf: bytes, zigzag: bool = False) -> np.ndarray:
+    """Vectorized packed-varint decode -> int64 ndarray (r6, guide §4.2:
+    the per-byte Python loop was the hottest path of the whole PBF
+    decoder).  Each byte's 7 payload bits are shifted into place by its
+    offset within its varint and summed per group with one reduceat —
+    uint64 wraparound matches protobuf's two's-complement semantics for
+    10-byte negative varints (max shift is 9*7 = 63, in range)."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    n = a.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    term = (a & 0x80) == 0  # terminator = high bit clear
+    is_start = np.empty(n, dtype=bool)
+    is_start[0] = True
+    is_start[1:] = term[:-1]
+    starts = np.flatnonzero(is_start)
+    gid = np.cumsum(is_start) - 1
+    off = (np.arange(n, dtype=np.int64) - starts[gid]).astype(np.uint64)
+    vals = (a & 0x7F).astype(np.uint64) << (np.uint64(7) * off)
+    sums = np.add.reduceat(vals, starts)
+    if zigzag:
+        return ((sums >> np.uint64(1)).astype(np.int64)) ^ (
+            -(sums & np.uint64(1)).astype(np.int64)
+        )
+    return sums.astype(np.int64)
+
+
 def _packed_varints(buf: bytes, zigzag: bool = False) -> list[int]:
-    out = []
-    i, n = 0, len(buf)
-    while i < n:
-        v, i = _varint(buf, i)
-        out.append(_zz(v) if zigzag else v)
+    """list-returning packed-varint decode.  Hybrid dispatch (r6): numpy
+    fixed-cost (~15us/call) swamps the win on the tiny per-way/relation
+    key/val/ref buffers, so short buffers keep the scalar loop; the big
+    block-level buffers (DenseNodes ids/lats/lons/kv) go vectorized."""
+    if len(buf) < 96:
+        out = []
+        i, n = 0, len(buf)
+        while i < n:
+            v, i = _varint(buf, i)
+            out.append(_zz(v) if zigzag else v)
+        return out
+    return _packed_varints_np(buf, zigzag).tolist()
+
+
+def _round7(vals: np.ndarray) -> np.ndarray:
+    """Vectorized round(x, 7), bit-identical to Python's round(): the
+    scaled value's fractional part sits far from .5 everywhere except
+    exact-half decimal boundaries (the error of y vs the exact d*1e7 is
+    < 1 ulp ~ 2.4e-7 for |d| <= 90), so np.rint + correctly-rounded
+    division equals Python's correctly-rounded decimal result away from
+    the guard band, and the (in practice empty: granularity-100 coords
+    scale to near-integers) guard band falls back to Python round."""
+    y = vals * 1e7
+    out = np.rint(y) / 1e7
+    fr = y - np.floor(y)
+    near_half = np.abs(fr - 0.5) < 1e-4
+    if near_half.any():
+        for i in np.flatnonzero(near_half):
+            out[i] = round(float(vals[i]), 7)
     return out
 
 
@@ -138,12 +190,16 @@ def _parse_stringtable(buf: bytes) -> list[str]:
     return [v.decode("utf-8") for fno, _wt, v in _fields(buf) if fno == 1]
 
 
-def parse_block(block: bytes):
+def parse_block(block: bytes, want: str = "nwr"):
     """PrimitiveBlock -> (nodes, ways, relations) lists.
 
     nodes: (id, lat, lon, {tags}); ways: (id, [refs], {tags});
     relations: (id, [(type, ref, role)], {tags}).
-    """
+
+    ``want`` selects which primitive kinds are DECODED ("n"/"w"/"r"
+    subset; the other lists come back empty) — the points layer only
+    needs nodes, and decoding Rutland's 16k ways + relations it then
+    throws away was ~40% of the single-task decode time (r6)."""
     st: list[str] = []
     groups: list[bytes] = []
     gran, lat_off, lon_off = 100, 0, 0
@@ -164,18 +220,23 @@ def parse_block(block: bytes):
     def coord(off, g, raw):
         return round(1e-9 * (off + g * raw), 7)
 
+    wn, ww, wr = "n" in want, "w" in want, "r" in want
     for g in groups:
         for fno, _wt, v in _fields(g):
+            if (fno in (1, 2) and not wn) or (fno == 3 and not ww) or (
+                fno == 4 and not wr
+            ):
+                continue
             if fno == 2:  # DenseNodes
                 ids = lats = lons = None
                 kv: list[int] = []
                 for f2, _w2, v2 in _fields(v):
                     if f2 == 1:
-                        ids = np.cumsum(_packed_varints(v2, zigzag=True))
+                        ids = np.cumsum(_packed_varints_np(v2, zigzag=True))
                     elif f2 == 8:
-                        lats = np.cumsum(_packed_varints(v2, zigzag=True))
+                        lats = np.cumsum(_packed_varints_np(v2, zigzag=True))
                     elif f2 == 9:
-                        lons = np.cumsum(_packed_varints(v2, zigzag=True))
+                        lons = np.cumsum(_packed_varints_np(v2, zigzag=True))
                     elif f2 == 10:
                         kv = _packed_varints(v2)
                 tags_per_node: list[dict] = []
@@ -192,16 +253,19 @@ def parse_block(block: bytes):
                             j += 2
                     if cur:
                         tags_per_node.append(cur)
-                for idx in range(len(ids)):
-                    t = tags_per_node[idx] if idx < len(tags_per_node) else {}
-                    nodes.append(
-                        (
-                            int(ids[idx]),
-                            coord(lat_off, gran, int(lats[idx])),
-                            coord(lon_off, gran, int(lons[idx])),
-                            t,
-                        )
+                # vectorized coord math, bit-identical to the scalar
+                # coord() (int64 arithmetic is exact below 2^53 before
+                # the float64 widening; _round7 matches Python round)
+                n_nodes = len(ids)
+                lat_d = _round7((lat_off + gran * lats).astype(np.float64) * 1e-9)
+                lon_d = _round7((lon_off + gran * lons).astype(np.float64) * 1e-9)
+                if len(tags_per_node) < n_nodes:
+                    tags_per_node.extend(
+                        {} for _ in range(n_nodes - len(tags_per_node))
                     )
+                nodes.extend(
+                    zip(ids.tolist(), lat_d.tolist(), lon_d.tolist(), tags_per_node)
+                )
             elif fno == 1:  # plain Node (rare)
                 nid, nlat, nlon, keys, vals = 0, 0, 0, [], []
                 for f2, _w2, v2 in _fields(v):
@@ -233,8 +297,8 @@ def parse_block(block: bytes):
                     elif f2 == 3:
                         vals = _packed_varints(v2)
                     elif f2 == 8:
-                        refs = list(np.cumsum(_packed_varints(v2, zigzag=True)))
-                ways.append((wid, [int(r) for r in refs], {st[k]: st[w] for k, w in zip(keys, vals)}))
+                        refs = list(accumulate(_packed_varints(v2, zigzag=True)))
+                ways.append((wid, refs, {st[k]: st[w] for k, w in zip(keys, vals)}))
             elif fno == 4:  # Relation
                 rid, keys, vals, roles, mids, mtypes = 0, [], [], [], [], []
                 for f2, _w2, v2 in _fields(v):
@@ -247,24 +311,25 @@ def parse_block(block: bytes):
                     elif f2 == 8:
                         roles = _packed_varints(v2)
                     elif f2 == 9:
-                        mids = list(np.cumsum(_packed_varints(v2, zigzag=True)))
+                        mids = list(accumulate(_packed_varints(v2, zigzag=True)))
                     elif f2 == 10:
                         mtypes = _packed_varints(v2)
                 members = [
-                    (["node", "way", "relation"][t], int(m), st[r])
+                    (["node", "way", "relation"][t], m, st[r])
                     for t, m, r in zip(mtypes, mids, roles)
                 ]
                 rels.append((rid, members, {st[k]: st[w] for k, w in zip(keys, vals)}))
     return nodes, ways, rels
 
 
-def parse_pbf(buf: bytes):
-    """Whole-file parse -> (nodes, ways, relations)."""
+def parse_pbf(buf: bytes, want: str = "nwr"):
+    """Whole-file parse -> (nodes, ways, relations); ``want`` as in
+    :func:`parse_block` (unrequested kinds come back as empty lists)."""
     nodes, ways, rels = [], [], []
     for btype, raw in iter_blocks(buf):
         if btype != "OSMData" or raw is None:
             continue
-        n, w, r = parse_block(raw)
+        n, w, r = parse_block(raw, want)
         nodes.extend(n)
         ways.extend(w)
         rels.extend(r)
@@ -583,7 +648,7 @@ def read_pbf_nodes(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for fpath, content in zip(b["path"], b["content"]):
-                nodes, _w, _r = parse_pbf(bytes(content))
+                nodes, _w, _r = parse_pbf(bytes(content), want="n")
                 yield pd.DataFrame(
                     [(i, la, lo, t, fpath) for i, la, lo, t in nodes],
                     columns=["id", "lat", "lon", "tags", "src_file"],
@@ -935,7 +1000,7 @@ def read_pbf_points_layer_split(
                 for btype, raw in iter_blocks(buf):
                     if btype != "OSMData" or raw is None:
                         continue
-                    nodes, _w, _r = parse_block(raw)
+                    nodes, _w, _r = parse_block(raw, want="n")
                     for nid, lat, lon, tags in nodes:
                         feat = node_to_point_feature(nid, lat, lon, tags)
                         if feat is not None:
@@ -1210,7 +1275,7 @@ def _points_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     construction)."""
     for b in batches:
         for fpath, content in zip(b["path"], b["content"]):
-            nodes, _w, _r = parse_pbf(bytes(content))
+            nodes, _w, _r = parse_pbf(bytes(content), want="n")
             rows = []
             for nid, lat, lon, tags in nodes:
                 f = node_to_point_feature(nid, lat, lon, tags)
