@@ -72,27 +72,37 @@ def make_video(media_id: int, w: int, h: int, n_frames: int) -> bytes:
     )
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(spark: SparkSession, sf_dir: str, kinds: tuple | None = None) -> DataFrame:
     """Synthesize the media table from documents (deterministic): one
     media object per doc, kind cycling image/audio/video, dimensions
-    derived from doc_id arithmetic."""
+    derived from doc_id arithmetic.
+
+    ``kinds`` (r6, guide §4.1 column/row pruning at the opaque boundary):
+    Catalyst cannot push a ``kind`` filter below the generation
+    ``mapInPandas``, so a single-kind consumer (the feature kernels)
+    passes the kinds it needs and the generator skips synthesizing the
+    rest — the table contents for the surviving kinds are identical."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     schema = "media_id long, kind string, payload binary, meta_w int, meta_h int, meta_sr int, meta_n int"
+    want = kinds if kinds is not None else ("image", "audio", "video")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w_img, w_aud, w_vid = ("image" in want), ("audio" in want), ("video" in want)
         for b in batches:
             rows = []
             for i in b["doc_id"].to_numpy():
                 i = int(i)
                 k = i % 3
                 if k == 0:
-                    w, h = 8 + i % 9, 6 + i % 7
-                    rows.append((i, "image", make_image(i, w, h), w, h, 0, 0))
+                    if w_img:
+                        w, h = 8 + i % 9, 6 + i % 7
+                        rows.append((i, "image", make_image(i, w, h), w, h, 0, 0))
                 elif k == 1:
-                    sr, n = 8000, 256 + (i % 128)
-                    rows.append((i, "audio", make_audio(i, sr, n), 0, 0, sr, n))
-                else:
+                    if w_aud:
+                        sr, n = 8000, 256 + (i % 128)
+                        rows.append((i, "audio", make_audio(i, sr, n), 0, 0, sr, n))
+                elif w_vid:
                     w, h, nf = 8, 6, 4 + i % 5
                     rows.append((i, "video", make_video(i, w, h, nf), w, h, 0, nf))
             yield pd.DataFrame(
@@ -195,6 +205,55 @@ def image_resize(
                 ).astype(np.uint8)
                 out.append((int(mid), nw, nh, encode(small)))
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "payload"])
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel, schema
+    )
+
+
+def image_features_resize(
+    media: DataFrame,
+    factor: int = 2,
+    decode=decode_image_default,
+    encode=encode_image_default,
+) -> DataFrame:
+    """Features AND block-mean resize in ONE decode pass (r6): the merged
+    media_image query previously ran two mapInPandas kernels over two
+    independent generations of the same source and joined them on
+    media_id — one decode now feeds both outputs and the join disappears.
+    ``resized_md5hex`` is the md5 of the lowercase hex of the re-encoded
+    payload, byte-identical to the SQL ``md5(lower(hex(payload)))`` the
+    two-pass shape computed.  Arithmetic is exactly image_features +
+    image_resize (both remain public and individually tested)."""
+    schema = (
+        "media_id long, width int, height int, mean_r_e4 long, mean_g_e4 long, "
+        "mean_b_e4 long, resized_width int, resized_height int, resized_md5hex string"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                px = decode(bytes(payload))
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                means_e4 = (sums * 10000) // (w * h)
+                nw, nh = max(1, w // factor), max(1, h // factor)
+                cut = px[: nh * factor, : nw * factor]
+                small = (
+                    cut.reshape(nh, factor, nw, factor, 3).astype(np.uint32).mean(axis=(1, 3))
+                ).astype(np.uint8)
+                digest = hashlib.md5(encode(small).hex().encode()).hexdigest()
+                out.append(
+                    (int(mid), w, h, *[int(x) for x in means_e4], nw, nh, digest)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "mean_r_e4", "mean_g_e4",
+                    "mean_b_e4", "resized_width", "resized_height", "resized_md5hex",
+                ],
+            )
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         kernel, schema

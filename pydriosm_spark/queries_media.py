@@ -252,17 +252,12 @@ def q_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Features + 2x block-mean resize of every image in ONE registry
     row (VERDICT r4: media_image_features and media_image_resize merged
     so the whole registry fits the driver's 50-query gate; both kernels
-    stay separate public surfaces).  Joined on media_id — two
-    mapInPandas passes over the same source, co-partitioned by key."""
-    m = M.media_table(spark, sf_dir)
-    feats = M.image_features(m)
-    rz = M.image_resize(m, factor=2).select(
-        "media_id",
-        F.col("width").alias("resized_width"),
-        F.col("height").alias("resized_height"),
-        F.expr("md5(lower(hex(payload)))").alias("resized_md5hex"),
+    stay separate public surfaces).  r6: one image-only generation and
+    ONE fused decode pass (image_features_resize) — the previous shape
+    generated the table twice, decoded twice, and joined on media_id."""
+    return M.image_features_resize(
+        M.media_table(spark, sf_dir, kinds=("image",)), factor=2
     )
-    return feats.join(rz, "media_id")
 
 
 def oracle_media_image() -> str:
@@ -315,11 +310,11 @@ FROM feats f JOIN hexs x USING (media_id)"""
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.audio_features(M.media_table(spark, sf_dir))
+    return M.audio_features(M.media_table(spark, sf_dir, kinds=("audio",)))
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.video_frame_sample(M.media_table(spark, sf_dir), every=2)
+    return M.video_frame_sample(M.media_table(spark, sf_dir, kinds=("video",)), every=2)
 
 
 def registry() -> dict:
