@@ -30,14 +30,23 @@ SHINGLE_K = 3
 SIMHASH_BITS = 60
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition CPU-bound kernels off a too-narrow source (e.g. one
     small parquet file = one task) without touching the RDD lineage:
     ``inputFiles()`` reads the plan's file listing (no physical-plan
     conversion the way ``df.rdd.getNumPartitions()`` forces — VERDICT r2
     residual).  File count underestimates split counts for huge files,
     so this errs toward one extra (cheap) shuffle on small inputs and is
-    a no-op on many-file tables at scale."""
+    a no-op on many-file tables at scale.
+
+    ``key`` (r6, guide §2.4): when the downstream aggregation groups by
+    ``key``, repartitioning BY that key lets the groupBy reuse this very
+    exchange — EnsureRequirements sees the clustered distribution is
+    already satisfied and the partial+final aggregate pair collapses
+    into the map stage (measured: the sf0.1 signature pass halved).
+    Hash-of-key placement co-locates each document's exploded rows,
+    which is exactly what the aggregation needs; doc sizes bound the
+    per-task work."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         nparts = len(df.inputFiles())
@@ -45,7 +54,9 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         nparts = 0
     if nparts == 0:  # non-file source (createDataFrame, checkpoint, ...)
         nparts = df.rdd.getNumPartitions()
-    return df.repartition(par) if nparts < max(2, par // 2) else df
+    if nparts >= max(2, par // 2):
+        return df
+    return df.repartition(par, key) if key else df.repartition(par)
 
 
 def shingles_exploded(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
@@ -62,8 +73,10 @@ def shingles_exploded(df: DataFrame, key: str = "doc_id", text: str = "text") ->
 
     Small inputs (e.g. a single parquet file = one partition) are
     repartitioned to the session's parallelism first: shingling + md5
-    is CPU-bound and must not serialize onto one task."""
-    df = _ensure_parallelism(df)
+    is CPU-bound and must not serialize onto one task.  The repartition
+    is keyed so a downstream per-``key`` aggregation reuses the same
+    exchange (guide §2.4)."""
+    df = _ensure_parallelism(df, key)
     toks = f"split(trim({text}), '\\\\s+')"
     m = f"(size({toks}) - {SHINGLE_K - 1})"
     zipped = (
@@ -393,8 +406,10 @@ def simhash_signature(
     Tokens explode (codegen), the 60-bit hash is projected once per token,
     then 60 bit-count sums + a token count run in a single partial+final
     hash agg — only |docs| x 61 longs shuffle.  Matches the HOF/oracle
-    form bit-for-bit (duplicates kept: explode == full-array filter())."""
-    df = _ensure_parallelism(df)
+    form bit-for-bit (duplicates kept: explode == full-array filter()).
+    The parallelism repartition is keyed on ``key`` so the aggregate
+    collapses onto the same exchange (guide §2.4)."""
+    df = _ensure_parallelism(df, key)
     aggs, bits = simhash_agg_exprs()
     wide = tokens_with_hash(df, key, text).groupBy(key).agg(*aggs)
     return wide.select(key, F.expr(bits).alias(out))

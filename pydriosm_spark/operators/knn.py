@@ -60,16 +60,72 @@ def knn_bruteforce(
     v: str = "v",
     broadcast: bool = True,
 ) -> DataFrame:
-    """``broadcast=False`` drops the broadcast hint so the cross join
-    runs as a block-partitioned CartesianProduct instead of shipping the
-    whole place side to every executor — required when |places| exceeds
-    executor memory (knn_cell's uncertified-point fallback threads its
+    """``broadcast=True`` (r6): the place side is collected once and
+    shipped as a task broadcast into a mapInArrow-style numpy kernel —
+    each task computes its partition's exact top-k with one vectorized
+    distance matrix + stable argsort (ties break on place_id because the
+    broadcast index is pre-sorted by place_id; bit-identical to the
+    ``ORDER BY d2, place_id`` window).  This removes the |points| x
+    |places| JVM row explosion, the map-side sort, and the top-k window
+    exchange outright — the same kernel economics as
+    cosine_topk_bruteforce, and the driver/executor footprint matches
+    what the old ``F.broadcast(places)`` hash relation already required.
+
+    ``broadcast=False`` keeps the JVM block-partitioned CartesianProduct
+    + WindowGroupLimit plan — required when |places| exceeds executor
+    memory (knn_cell's uncertified-point fallback threads its
     ``broadcast_places`` flag here so a >2M-place side is never
     broadcast, ADVICE r3)."""
     point_keys = point_keys or ["doc_id", "mention_idx"]
-    placed = F.broadcast(places) if broadcast else places
-    cand = _with_d2(points.crossJoin(placed), u, v)
-    return _topk(cand, point_keys, k)
+    if not broadcast:
+        cand = _with_d2(points.crossJoin(places), u, v)
+        return _topk(cand, point_keys, k)
+
+    import numpy as np
+    import pandas as pd
+
+    rows = places.select("place_id", "pu", "pv").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    pus = np.array([r[1] for r in rows], dtype=np.int64)
+    pvs = np.array([r[2] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")  # tie-break order for equal d2
+    bc = points.sparkSession.sparkContext.broadcast(
+        (ids[order], pus[order], pvs[order])
+    )
+    place_t = dict(places.dtypes)["place_id"]
+    src = points.select(*point_keys, u, v)
+    key_types = dict(src.dtypes)
+    schema = (
+        ", ".join(f"`{c}` {key_types[c]}" for c in point_keys)
+        + f", rank int, place_id {place_t}, d2 long"
+    )
+
+    pid_np = {"tinyint": np.int8, "smallint": np.int16, "int": np.int32}.get(
+        place_t, np.int64
+    )
+
+    def kern(batches):
+        sids, spu, spv = bc.value
+        sids = sids.astype(pid_np)  # match the declared Arrow field type
+        kk = min(k, sids.shape[0])
+        ranks = np.arange(1, kk + 1, dtype=np.int32)
+        for b in batches:
+            n = len(b)
+            if n == 0 or kk == 0:
+                continue
+            uu = b[u].to_numpy().astype(np.int64)
+            vv = b[v].to_numpy().astype(np.int64)
+            du = uu[:, None] - spu[None, :]
+            dv = vv[:, None] - spv[None, :]
+            d2 = du * du + dv * dv
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            out = {pk: np.repeat(b[pk].to_numpy(), kk) for pk in point_keys}
+            out["rank"] = np.tile(ranks, n)
+            out["place_id"] = sids[idx].ravel()
+            out["d2"] = np.take_along_axis(d2, idx, axis=1).ravel()
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kern, schema)
 
 
 def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:

@@ -90,8 +90,14 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"__c_{l}")
         for l, ws in T.LANG_STOPWORDS.items()
     ]
+    # keyed parallelism spread (r6): the explode + per-token md5 must not
+    # serialize onto a single small-file scan task, and keying the
+    # repartition by doc_id lets the 65-column aggregate collapse onto
+    # the same exchange (guide §2.4)
     wide = (
-        dedup.tokens_with_hash(d).groupBy("doc_id").agg(*sim_aggs, *lang_aggs)
+        dedup.tokens_with_hash(dedup._ensure_parallelism(d, "doc_id"))
+        .groupBy("doc_id")
+        .agg(*sim_aggs, *lang_aggs)
     )
     prof = wide.select(
         "doc_id",

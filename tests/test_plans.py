@@ -85,11 +85,13 @@ def test_lsh_rerank_plan_has_no_hof_dots(spark):
 
 def test_knn_topk_gets_window_group_limit(spark):
     """The rank<=k filter must rewrite to WindowGroupLimit (per-group
-    top-k before the full sort) in the kNN window."""
+    top-k before the full sort) in the JVM brute-force kNN window (the
+    broadcast=False plan for place sides too big to ship; the
+    broadcast=True path is a numpy kernel since r6)."""
     from pydriosm_spark.operators import knn
 
     m = extract.extract_mentions(synth.webpages(spark, SF_SMOKE))
-    p = _plan(knn.knn_cell(spark, m, synth.places_df(spark), k=3))
+    p = _plan(knn.knn_bruteforce(m, synth.places_df(spark), k=3, broadcast=False))
     assert "WindowGroupLimit" in p, p[:2000]
 
 
@@ -207,7 +209,11 @@ def test_knn_cell_certification_rides_topk_window(spark):
     p = _plan(knn.knn_cell(spark, m, synth.places_df(spark), k=3))
     assert "LeftSemi" not in p, p[:3000]
     assert "LeftAnti" not in p, p[:3000]
-    assert "WindowGroupLimit" in p, p[:3000]
+    # fallback = numpy kernel over the checkpointed uncertified rows (no
+    # second scan of the point side anywhere in the plan)
+    assert "MapInPandas" in p, p[:3000]
+    # the heavy probe window ran once at checkpoint time; the WindowGroupLimit
+    # lock for that chain lives in test_knn_probe_topk_is_one_exchange...
 
 
 def test_knn_probe_topk_is_one_exchange_with_group_limit(spark):
