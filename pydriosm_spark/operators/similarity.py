@@ -221,14 +221,16 @@ def cosine_topk_bruteforce(
 
     The index side is collected and broadcast ONCE (no pandas
     round-trip); ``max_index_rows`` is the documented gate — beyond it,
-    use the LSH/IVF paths, whose index stays distributed."""
-    n = emb.count()
-    if n > max_index_rows:
+    use the LSH/IVF paths, whose index stays distributed.  r6: the gate
+    rides the collect itself (LIMIT max+1, raise on overflow) instead of
+    a separate count job — the driver pull stays bounded by max+1 rows
+    either way, and one full pass over the index disappears."""
+    rows = emb.select(id_col, vec_col).limit(max_index_rows + 1).collect()
+    if len(rows) > max_index_rows:
         raise ValueError(
-            f"brute-force index would broadcast {n} rows > {max_index_rows}; "
+            f"brute-force index would broadcast > {max_index_rows} rows; "
             "use cosine_topk_lsh / cosine_topk_ivf for indexes this large"
         )
-    rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = _norm_rows(np.array([r[1] for r in rows], dtype=np.float64))
     order = np.argsort(ids, kind="stable")
