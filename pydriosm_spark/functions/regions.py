@@ -56,10 +56,18 @@ def tier_from_edges(edges: DataFrame) -> DataFrame:
         nxt = (
             cur.alias("a")
             .join(
-                cur.select(
-                    F.col("region").alias("anc"),
-                    F.col("anc").alias("anc2"),
-                    F.col("depth").alias("d2"),
+                # broadcast the ancestor lookup (r6): the tier is a
+                # dimension table (region catalogues are thousands of
+                # rows at planetary scale) but each round's input is a
+                # statless checkpoint scan, which planned as a
+                # SortMergeJoin — two exchanges + sorts per doubling
+                # round for a table that always fits an executor
+                F.broadcast(
+                    cur.select(
+                        F.col("region").alias("anc"),
+                        F.col("anc").alias("anc2"),
+                        F.col("depth").alias("d2"),
+                    )
                 ).alias("b"),
                 "anc",
                 "left",
@@ -85,8 +93,8 @@ def tier_from_edges(edges: DataFrame) -> DataFrame:
         F.col("parent").alias("region"), F.lit(False).alias("is_leaf")
     ).distinct()
     return (
-        parents.join(depths, "region")
-        .join(leaves, "region", "left")
+        parents.join(F.broadcast(depths), "region")
+        .join(F.broadcast(leaves), "region", "left")
         .select(
             "region",
             "parent",
@@ -117,7 +125,8 @@ def descendants(tier: DataFrame, name: str, leaves_only: bool = True) -> DataFra
     for _ in range(int(max_depth)):
         frontier = (
             tier.join(
-                frontier.select(F.col("region").alias("parent")), "parent"
+                F.broadcast(frontier.select(F.col("region").alias("parent"))),
+                "parent",
             ).select("region")
         )
         if frontier.isEmpty():

@@ -181,7 +181,10 @@ def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
     # safely above the floor, and the fixed-point algebra is unchanged
     # (m = d*t^2  ->  rs2 = 4k*t^2/(3m) = 4k/(3d) = (R*s0)^2).
     t = 2 * max(1, disk_radius) * s0
-    hist = (
+    # no .orderBy: the histogram is <= ~sqrt(2N) rows and the walk below
+    # needs it sorted anyway — sorting driver-side removes a whole
+    # range-partitioning exchange from every auto-sized call (r6)
+    hist = sorted(
         places.groupBy(
             F.floor(F.col("pu") / t).alias("__cx"),
             F.floor(F.col("pv") / t).alias("__cy"),
@@ -189,8 +192,8 @@ def auto_cell_size(places: DataFrame, k: int, disk_radius: int) -> int:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("cnt")
         .agg(F.sum("cnt").alias("w"))
-        .orderBy("cnt")
-        .collect()
+        .collect(),
+        key=lambda r: r["cnt"],
     )
     total = sum(r["w"] for r in hist)
     half, acc, m = (total + 1) // 2, 0, 1
