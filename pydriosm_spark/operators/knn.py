@@ -5,27 +5,36 @@ fixtures) so distances are exact integers — ``d2 = (u-pu)^2 + (v-pv)^2``
 — and results are bit-stable across engines and parallelism levels.
 Ties break deterministically on ``(d2, place_id)``.
 
-``knn_bruteforce`` — broadcast cross join + window top-k.  Optimal when
-the place side is small; the right plan for |places| up to ~10^4 even at
-100 TB of points (broadcast nested-loop + one shuffle for the window).
+``knn_bruteforce`` — exact top-k against the whole place side.  With
+``broadcast=True`` (the plan for |places| up to ~10^4 even at 100 TB of
+points) the collected place side ships as a task broadcast into a numpy
+kernel: one distance matrix + stable argsort per Arrow batch, zero
+shuffles (r6).  ``broadcast=False`` keeps the JVM block-partitioned
+CartesianProduct + WindowGroupLimit window for place sides too big to
+ship.
 
-``knn_cell`` — the scale path for large place sets, exact, in TWO joins
-(no per-ring driver loop):
+``knn_cell`` — the scale path for large place sets, exact:
 
-1. **Disk probe** — bucket places into coarse grid cells of size S;
-   each point explodes the (2R+1)^2 cell-offset array of its Chebyshev
-   R-disk and equi-joins the place buckets.  A point is *certified* if
-   it found >= k candidates whose k-th distance <= (R*S)^2 — every
-   unseen place sits in cell-ring > R, hence at distance > R*S.
-2. **Fallback** — the (rare) uncertified points go through the
-   brute-force path.  Exactness is unconditional; R only tunes how much
-   traffic takes the cheap path.
+1. **Disk probe** — bucket places into grid cells of size S
+   (``cell_size="auto"`` sizes S from place density so the
+   certification ball of radius R*S holds ~4k places; R defaults to 1,
+   a 9-cell probe).  Each point explodes the (2R+1)^2 cell-offset array
+   of its Chebyshev R-disk PLUS one NULL marker offset and LEFT-joins
+   the place buckets — the marker row never matches, giving every point
+   a sentinel through the top-k window (r6).  A point is *certified* if
+   it has >= k candidates with distance < (R*S)^2 — every unseen place
+   sits in cell-ring > R, hence at distance > R*S.  The rank<=k filter
+   rewrites to a partial+final WindowGroupLimit, so only <= k rows per
+   point cross the window exchange, and the certification count rides
+   the same exchange.
+2. **Fallback** — uncertified points (present in the same materialized
+   top-k thanks to the sentinel, coordinates included) go through the
+   brute-force path.  Exactness is unconditional; S and R only tune how
+   much traffic takes the cheap path.
 
-At 100 TB the disk probe is a broadcast (or bucket-shuffle) equi-join
-with explode factor (2R+1)^2 ~ 25; the fallback handles density holes
-without a correctness cliff.  Skew: points concentrate in hot cells but
-the join key is the *place* bucket — replicating the small side per salt
-(operators/skew.py) applies when the place side shuffles.
+Skew: points concentrate in hot cells but the join key is the *place*
+bucket — replicating the small side per salt (operators/skew.py)
+applies when the place side shuffles (``broadcast_places=False``).
 """
 
 from __future__ import annotations
